@@ -1,0 +1,48 @@
+"""ngmix_tpu: TPU-native gaussian-mixture galaxy fitting, moments, and
+metacalibration.
+
+A from-scratch JAX/XLA re-design with the capabilities of esheldon/ngmix
+(reference under study at /root/reference). The device core is
+batch-first (vmap/pjit over stamps); the host layer keeps the familiar
+Observation / GMix / Fitter.go / Bootstrapper / get_all_metacal API.
+"""
+__version__ = "0.1.0"
+
+from . import defaults  # noqa: F401
+from . import flags  # noqa: F401
+from . import gexceptions  # noqa: F401
+from . import jacobian  # noqa: F401
+from . import moments  # noqa: F401
+from . import pixels  # noqa: F401
+from . import shape  # noqa: F401
+from . import util  # noqa: F401
+from .gexceptions import (  # noqa: F401
+    BootGalFailure,
+    BootPSFFailure,
+    FFTRangeError,
+    GMixFatalError,
+    GMixMaxIterEM,
+    GMixRangeError,
+    NGmixBaseException,
+    PSFFluxFailure,
+)
+from .jacobian import DiagonalJacobian, Jacobian, UnitJacobian  # noqa: F401
+from .shape import Shape  # noqa: F401
+
+from . import gmix  # noqa: F401
+from . import observation  # noqa: F401
+from .observation import (  # noqa: F401
+    MultiBandObsList,
+    Observation,
+    ObsList,
+    get_mb_obs,
+)
+from .gmix import (  # noqa: F401
+    GMix,
+    GMixCM,
+    GMixCoellip,
+    GMixModel,
+    make_gmix_model,
+)
+from . import gaussap  # noqa: F401
+from .util import print_pars  # noqa: F401
