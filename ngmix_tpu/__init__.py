@@ -45,4 +45,8 @@ from .gmix import (  # noqa: F401
     make_gmix_model,
 )
 from . import gaussap  # noqa: F401
+from . import admom  # noqa: F401
+from . import gaussmom  # noqa: F401
+from .admom import AdmomFitter, find_cen_admom, run_admom  # noqa: F401
+from .gaussmom import GaussMom  # noqa: F401
 from .util import print_pars  # noqa: F401

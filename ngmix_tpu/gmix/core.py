@@ -112,10 +112,10 @@ def eval_gmix(gmix, v, u, area=1.0, fast=True):
     ----------
     gmix : [..., n, 6]
     v, u : [..., npix] tangent-plane coordinates
-    area : pixel area factor (scalar or [..., npix]); the reference
-        multiplies by area in the "fast" evaluation path
-        (gauss2d_eval_pixel_fast, gmix_nb.py:29-63) and not in the
-        exact path (gmix_nb.py:67-92)
+    area : pixel area factor (scalar or [..., npix]); both reference
+        evaluation paths multiply by the pixel area
+        (gauss2d_eval_pixel_fast gmix_nb.py:59, gauss2d_eval_pixel
+        gmix_nb.py:90)
     fast : apodized-truncation objective (chi2 cut at 25 with the C2
         window from 20); ``fast=False`` is the exact untruncated
         gaussian
@@ -131,11 +131,9 @@ def eval_gmix(gmix, v, u, area=1.0, fast=True):
         win = jnp.where((chi2 < FASTEXP_MAX_CHI2) & (chi2 >= 0.0), win, 0.0)
         # clip the exp argument so masked-out lanes cannot overflow
         vals = jnp.exp(-0.5 * jnp.clip(chi2, 0.0, FASTEXP_MAX_CHI2)) * win
-        per_pix = jnp.sum(pnorm[..., None] * vals, axis=-2) * area
     else:
         vals = jnp.exp(-0.5 * chi2)
-        per_pix = jnp.sum(pnorm[..., None] * vals, axis=-2)
-    return per_pix
+    return jnp.sum(pnorm[..., None] * vals, axis=-2) * area
 
 
 def render(gmix, coords, fast=True):
@@ -473,9 +471,9 @@ def get_weighted_sums(wt, pixels, maxrad, higher_order=False):
     """weighted moment sums with full covariance.
 
     ref: ngmix/gmix/gmix_nb.py:682-821. The weight is evaluated with the
-    exact exponential and *no* pixel-area factor (matching
-    gauss2d_eval_pixel). The [nmom, nmom] covariance is a single einsum
-    (MXU) per stamp.
+    exact (untruncated) exponential including the pixel-area factor
+    (gauss2d_eval_pixel). The [nmom, nmom] covariance is a single
+    einsum (MXU) per stamp.
 
     Returns dict with sums [..., nmom], sums_cov [..., nmom, nmom],
     wsum, npix, flags.
@@ -489,7 +487,7 @@ def get_weighted_sums(wt, pixels, maxrad, higher_order=False):
     mask = (rad2 < maxrad**2) & (pixels.ierr > 0.0)
     fmask = mask.astype(pixels.v.dtype)
 
-    weight = eval_gmix(wt, pixels.v, pixels.u, fast=False) * fmask
+    weight = eval_gmix(wt, pixels.v, pixels.u, pixels.area, fast=False) * fmask
     ierr_safe = jnp.where(mask, pixels.ierr, 1.0)
     var = 1.0 / (ierr_safe * ierr_safe)
 

@@ -41,8 +41,7 @@ def _numpy_render(gm_data, dims, jac=None, apodize=False):
                     elif chi2 > 20.0:
                         x = (25.0 - chi2) / 5.0
                         val *= x**3 * (10 + x * (-15 + 6 * x))
-                    val = val * area
-                tot += val
+                tot += val * area
             img[r, c] = tot
     return img
 
@@ -159,9 +158,6 @@ def test_render_with_jacobian():
     dims = (25, 25)
     img = gm.make_image(dims, jacobian=jac, fast_exp=False)
     oracle = _numpy_render(gm.get_data(), dims, jac=jac)
-    # note exact path has no area factor in reference; ngmix render
-    # non-fast multiplies?  reference render_nb uses gmix_eval_pixel
-    # (no area) for fast_exp=False and _fast (with area) otherwise.
     assert np.allclose(img, oracle, rtol=1e-10)
 
 
