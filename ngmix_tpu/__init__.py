@@ -45,6 +45,10 @@ from .gmix import (  # noqa: F401
     make_gmix_model,
 )
 from . import gaussap  # noqa: F401
+from . import em  # noqa: F401
+from . import fitting  # noqa: F401
+from .em import EMFitter, run_em  # noqa: F401
+from .fitting import CoellipFitter, Fitter, PSFFluxFitter  # noqa: F401
 from . import admom  # noqa: F401
 from . import gaussmom  # noqa: F401
 from .admom import AdmomFitter, find_cen_admom, run_admom  # noqa: F401

@@ -1,0 +1,13 @@
+from . import lm  # noqa: F401
+from .fit_model import (  # noqa: F401
+    CoellipFitModel,
+    FitData,
+    FitModel,
+    PSFFluxFitModel,
+    SIMPLE_ANALYTIC_MODELS,
+    make_fdiff_fn,
+    make_lnprob_fn,
+    pack_fit_data,
+)
+from .fitters import CoellipFitter, Fitter, PSFFluxFitter  # noqa: F401
+from .lm import LMConf, run_lm, run_lm_batch, run_lm_jit  # noqa: F401

@@ -34,28 +34,43 @@ def _safe_ratio(num_mag, mag):
 
 
 def g1g2_to_e1e2(g1, g2):
-    """g -> e conversion: e = tanh(2 atanh(g)). Clips |g|,|e| below 1.
+    """g -> e conversion: e = tanh(2 atanh(g)), which has the AD-safe
+    closed form e = 2 g / (1 + |g|^2) (exactly equal for |g| < 1; no
+    sqrt/atanh singularities at g = 0, so jacfwd through the fit
+    objective is exact). Clips |g| below 1 instead of raising.
 
-    Behavior parity: ngmix/shape.py:179-235 (device version clips
-    instead of raising).
+    Behavior parity: ngmix/shape.py:179-235.
     """
-    g = jnp.sqrt(g1 * g1 + g2 * g2)
-    gc = jnp.clip(g, 0.0, ONE_MINUS_EPS)
-    e = jnp.clip(jnp.tanh(2 * jnp.arctanh(gc)), 0.0, ONE_MINUS_EPS)
-    fac = _safe_ratio(e, gc)
-    return fac * g1, fac * g2
+    gsq = g1 * g1 + g2 * g2
+    # clip |g| -> ONE_MINUS_EPS while preserving direction
+    scale = jnp.where(
+        gsq >= 1.0,
+        ONE_MINUS_EPS / jnp.sqrt(jnp.where(gsq >= 1.0, gsq, 1.0)),
+        1.0,
+    )
+    g1c = g1 * scale
+    g2c = g2 * scale
+    fac = 2.0 / (1.0 + g1c * g1c + g2c * g2c)
+    return fac * g1c, fac * g2c
 
 
 def e1e2_to_g1g2(e1, e2):
-    """e -> g conversion: g = tanh(atanh(e)/2). Clips |e|,|g| below 1.
+    """e -> g conversion: g = tanh(atanh(e)/2) = e / (1 + sqrt(1-|e|^2))
+    (AD-safe closed form). Clips |e| below 1 instead of raising.
 
     Behavior parity: ngmix/shape.py:238-293.
     """
-    e = jnp.sqrt(e1 * e1 + e2 * e2)
-    ec = jnp.clip(e, 0.0, ONE_MINUS_EPS)
-    g = jnp.clip(jnp.tanh(0.5 * jnp.arctanh(ec)), 0.0, ONE_MINUS_EPS)
-    fac = _safe_ratio(g, ec)
-    return fac * e1, fac * e2
+    esq = e1 * e1 + e2 * e2
+    scale = jnp.where(
+        esq >= 1.0,
+        ONE_MINUS_EPS / jnp.sqrt(jnp.where(esq >= 1.0, esq, 1.0)),
+        1.0,
+    )
+    e1c = e1 * scale
+    e2c = e2 * scale
+    esqc = e1c * e1c + e2c * e2c
+    fac = 1.0 / (1.0 + jnp.sqrt(jnp.clip(1.0 - esqc, 0.0, None)))
+    return fac * e1c, fac * e2c
 
 
 def g1g2_to_eta1eta2(g1, g2):

@@ -1,0 +1,230 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ngmix_tpu import Fitter, GMixModel, PSFFluxFitter
+from ngmix_tpu.fitting.lm import LMConf, e2i, i2e, i2e_grad, run_lm
+
+from _sims import get_model_obs
+
+
+def test_bounds_transforms_roundtrip():
+    lo = jnp.array([-1.0, 0.5, -jnp.inf, -jnp.inf])
+    hi = jnp.array([1.0, jnp.inf, 2.0, jnp.inf])
+    x = jnp.array([0.3, 1.7, -0.5, 3.2])
+    y = e2i(x, lo, hi)
+    xb = i2e(y, lo, hi)
+    assert np.allclose(np.asarray(xb), np.asarray(x), atol=1e-12)
+
+    # values always inside bounds for any internal y
+    for yv in [-10.0, -1.0, 0.0, 1.0, 10.0]:
+        xe = np.asarray(i2e(jnp.full(4, yv), lo, hi))
+        assert xe[0] >= -1.0 and xe[0] <= 1.0
+        assert xe[1] >= 0.5
+        assert xe[2] <= 2.0
+
+    # gradient matches AD
+    g = np.asarray(i2e_grad(y, lo, hi))
+    gad = np.diag(np.asarray(jax.jacfwd(lambda yy: i2e(yy, lo, hi))(y)))
+    assert np.allclose(g, gad, atol=1e-12)
+
+
+def test_lm_linear_problem():
+    """LM solves a linear least squares exactly"""
+    rng = np.random.RandomState(44)
+    A = jnp.asarray(rng.normal(size=(20, 3)))
+    x_true = jnp.asarray([1.0, -2.0, 0.5])
+    sigma = 0.01
+    y = A @ x_true + jnp.asarray(rng.normal(size=20)) * sigma
+
+    def resid(pars, data):
+        return (data["A"] @ pars - data["y"]) / sigma
+
+    data = {"A": A, "y": y}
+    out = run_lm(
+        resid, data, jnp.zeros(3), jnp.full(3, -jnp.inf), jnp.full(3, jnp.inf),
+        LMConf(),
+    )
+    assert int(out["flags"]) == 0
+    # exact normal-equations solution
+    xhat = np.linalg.lstsq(np.asarray(A), np.asarray(y), rcond=None)[0]
+    assert np.allclose(np.asarray(out["pars"]), xhat, atol=1e-8)
+    # errors ~ sigma * sqrt(diag((A^T A)^-1)), scaled by chi2/dof ~ 1
+    cov = sigma**2 * np.linalg.inv(np.asarray(A).T @ np.asarray(A))
+    assert np.allclose(
+        np.asarray(out["pars_err"]), np.sqrt(np.diag(cov)), rtol=0.5
+    )
+
+
+def test_lm_rosenbrock_bounded():
+    """bounded nonlinear problem: solution pinned at a bound"""
+
+    def resid(pars, data):
+        a, b = pars
+        return jnp.array([10.0 * (b - a * a), 1.0 - a])
+
+    lo = jnp.array([-jnp.inf, -jnp.inf])
+    hi = jnp.array([jnp.inf, 0.5])  # cap b at 0.5, so best a ~ sqrt(0.5)
+    out = run_lm(resid, {}, jnp.array([-1.0, 0.0]), lo, hi, LMConf(maxfev=500))
+    pars = np.asarray(out["pars"])
+    assert pars[1] <= 0.5 + 1e-10
+    assert np.allclose(pars[1], 0.5, atol=1e-4)
+
+
+def test_fitter_gauss_psf_gauss():
+    """exp-model LM fit with a psf recovers injected parameters"""
+    rng = np.random.RandomState(45)
+    data = get_model_obs(
+        rng=rng, model="gauss", T=1.2, g1=0.1, g2=-0.05, flux=100.0,
+        noise=0.1,
+    )
+    obs = data["obs"]
+    obs.psf.set_gmix(data["psf_gmix"])
+
+    guess = data["pars"] * rng.uniform(low=0.9, high=1.1, size=6)
+    fitter = Fitter(model="gauss")
+    res = fitter.go(obs, guess)
+    assert res["flags"] == 0
+    assert res["s2n"] > 50
+    assert np.allclose(res["pars"][2], 0.1, atol=0.02)
+    assert np.allclose(res["pars"][3], -0.05, atol=0.02)
+    assert np.allclose(res["pars"][4], 1.2, rtol=0.1)
+    assert np.allclose(res["pars"][5], 100.0, rtol=0.05)
+    assert res["nfev"] > 2
+    assert "chi2per" in res and 0.7 < res["chi2per"] < 1.3
+
+    gm = res.get_gmix()
+    assert np.allclose(gm.get_flux(), res["pars"][5])
+    im = res.make_image()
+    assert im.shape == obs.image.shape
+
+
+@pytest.mark.parametrize("model", ["exp", "dev"])
+def test_fitter_exp_dev(model):
+    rng = np.random.RandomState(46)
+    data = get_model_obs(
+        rng=rng, model=model, T=2.0, g1=0.05, g2=0.0, flux=100.0,
+        noise=0.01, dims=(49, 49),
+    )
+    obs = data["obs"]
+    obs.psf.set_gmix(data["psf_gmix"])
+    guess = data["pars"] * rng.uniform(low=0.95, high=1.05, size=6)
+    res = Fitter(model=model).go(obs, guess)
+    assert res["flags"] == 0
+    assert np.allclose(res["pars"][4], 2.0, rtol=0.05)
+    assert np.allclose(res["pars"][5], 100.0, rtol=0.02)
+
+
+def test_fitter_noiseless_exact():
+    """noiseless fit converges to the true parameters tightly"""
+    rng = np.random.RandomState(47)
+    data = get_model_obs(
+        rng=rng, model="gauss", T=1.5, g1=0.08, g2=0.03, flux=50.0,
+        noise=1e-6,
+    )
+    obs = data["obs"]
+    obs.psf.set_gmix(data["psf_gmix"])
+    guess = data["pars"] * rng.uniform(low=0.9, high=1.1, size=6)
+    res = Fitter(model="gauss", fit_pars={"maxfev": 4000, "ftol": 1e-10, "xtol": 1e-10}).go(obs, guess)
+    assert res["flags"] == 0
+    assert np.allclose(res["pars"][:2], 0.0, atol=1e-5)
+    assert np.allclose(res["pars"][2], 0.08, atol=1e-5)
+    assert np.allclose(res["pars"][3], 0.03, atol=1e-5)
+    assert np.allclose(res["pars"][4], 1.5, rtol=1e-5)
+    assert np.allclose(res["pars"][5], 50.0, rtol=1e-5)
+
+
+def test_fitter_multi_epoch():
+    from ngmix_tpu import ObsList
+
+    rng = np.random.RandomState(48)
+    obslist = ObsList()
+    for _ in range(3):
+        data = get_model_obs(
+            rng=rng, model="gauss", T=1.2, g1=0.1, g2=-0.05, flux=100.0,
+            noise=0.1,
+        )
+        obs = data["obs"]
+        obs.psf.set_gmix(data["psf_gmix"])
+        obslist.append(obs)
+
+    guess = data["pars"] * rng.uniform(low=0.9, high=1.1, size=6)
+    res = Fitter(model="gauss").go(obslist, guess)
+    assert res["flags"] == 0
+    # 3 epochs -> ~sqrt(3) more s2n than single epoch
+    res1 = Fitter(model="gauss").go(obslist[0], guess)
+    assert res["s2n"] > 1.5 * res1["s2n"]
+
+
+def test_fitter_multi_band():
+    from ngmix_tpu import MultiBandObsList, ObsList
+
+    rng = np.random.RandomState(49)
+    mb = MultiBandObsList()
+    fluxes = [100.0, 150.0]
+    for flux in fluxes:
+        data = get_model_obs(
+            rng=rng, model="gauss", T=1.2, g1=0.1, g2=-0.05, flux=flux,
+            noise=0.05,
+        )
+        obs = data["obs"]
+        obs.psf.set_gmix(data["psf_gmix"])
+        ol = ObsList()
+        ol.append(obs)
+        mb.append(ol)
+
+    guess = np.array([0.0, 0.0, 0.05, 0.0, 1.1, 90.0, 160.0])
+    res = Fitter(model="gauss").go(mb, guess)
+    assert res["flags"] == 0
+    assert res["pars"].size == 7
+    assert np.allclose(res["pars"][5], 100.0, rtol=0.05)
+    assert np.allclose(res["pars"][6], 150.0, rtol=0.05)
+    assert res["flux"].shape == (2,)
+
+
+def test_fitter_error_calibration():
+    """pars_err tracks the empirical scatter"""
+    rng = np.random.RandomState(50)
+    g1s, g1errs = [], []
+    for _ in range(100):
+        data = get_model_obs(
+            rng=rng, model="gauss", T=1.2, g1=0.1, g2=0.0, flux=100.0,
+            noise=0.5,
+        )
+        obs = data["obs"]
+        obs.psf.set_gmix(data["psf_gmix"])
+        guess = data["pars"] * rng.uniform(low=0.95, high=1.05, size=6)
+        res = Fitter(model="gauss").go(obs, guess)
+        if res["flags"] != 0:
+            continue
+        g1s.append(res["pars"][2])
+        g1errs.append(res["pars_err"][2])
+    assert len(g1s) > 80
+    assert np.allclose(np.std(g1s), np.mean(g1errs), rtol=0.3)
+
+
+def test_psf_flux_fitter():
+    rng = np.random.RandomState(51)
+    data = get_model_obs(
+        rng=rng, model="gauss", T=0.0001, g1=0.0, g2=0.0, flux=100.0,
+        noise=0.01,
+    )
+    obs = data["obs"]
+    obs.psf.set_gmix(data["psf_gmix"])
+    res = PSFFluxFitter().go(obs)
+    assert res["flags"] == 0
+    # nearly point source: psf flux ~ total flux
+    assert np.allclose(res["flux"], 100.0, rtol=0.02)
+    assert res["flux_err"] > 0
+
+
+def test_fitter_bad_guess_raises():
+    from ngmix_tpu.gexceptions import GMixRangeError
+
+    rng = np.random.RandomState(52)
+    data = get_model_obs(rng=rng, model="gauss", noise=0.1)
+    obs = data["obs"]
+    obs.psf.set_gmix(data["psf_gmix"])
+    with pytest.raises(GMixRangeError):
+        Fitter(model="gauss").go(obs, [0.0, 0.0, 0.9, 0.9, 1.0, 1.0])
