@@ -45,12 +45,19 @@ from .gmix import (  # noqa: F401
     make_gmix_model,
 )
 from . import gaussap  # noqa: F401
+from . import priors  # noqa: F401
+from . import joint_prior  # noqa: F401
 from . import em  # noqa: F401
 from . import fitting  # noqa: F401
 from .em import EMFitter, run_em  # noqa: F401
 from .fitting import CoellipFitter, Fitter, PSFFluxFitter  # noqa: F401
 from . import admom  # noqa: F401
 from . import gaussmom  # noqa: F401
+from . import guessers  # noqa: F401
+from . import runners  # noqa: F401
+from . import bootstrap  # noqa: F401
+from .bootstrap import Bootstrapper  # noqa: F401
+from .runners import PSFRunner, Runner  # noqa: F401
 from .admom import AdmomFitter, find_cen_admom, run_admom  # noqa: F401
 from .gaussmom import GaussMom  # noqa: F401
 from .util import print_pars  # noqa: F401

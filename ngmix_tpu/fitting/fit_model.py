@@ -217,6 +217,12 @@ class FitModel(dict):
     def _set_n_prior_pars(self):
         if self.prior is None:
             self.n_prior_pars = 0
+        elif hasattr(self.prior, "n_prior_pars"):
+            # exact number of rows the prior fills; the reference
+            # over-allocates one slot (results.py:377-384 vs the 4+nband
+            # rows PriorSimpleSep.fill_fdiff actually fills) and pads
+            # with a zero row - our stacked objective has no padding
+            self.n_prior_pars = self.prior.n_prior_pars
         else:
             self.n_prior_pars = get_lm_n_prior_pars(
                 model=self.model_name, nband=self.nband
@@ -325,12 +331,6 @@ class CoellipFitModel(FitModel):
     def _set_npars(self):
         assert self.nband == 1, "Coellip can only fit one band"
         self.npars = 4 + 2 * self._ngauss
-
-    def _set_n_prior_pars(self):
-        if self.prior is None:
-            self.n_prior_pars = 0
-        else:
-            self.n_prior_pars = 1 + 1 + 1 + 2 * self._ngauss
 
     def get_band_pars(self, pars, band):
         return np.asarray(pars).copy()

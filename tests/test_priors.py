@@ -1,0 +1,245 @@
+import numpy as np
+import pytest
+
+from ngmix_tpu.gexceptions import GMixRangeError
+from ngmix_tpu.joint_prior import PriorSimpleSep
+from ngmix_tpu.priors import (
+    CenPrior,
+    FlatPrior,
+    GPriorBA,
+    GPriorGauss,
+    LMBounds,
+    LogNormal,
+    Normal,
+    Sinh,
+    TruncatedGaussian,
+    TwoSidedErf,
+    ZDisk2D,
+)
+
+
+def test_flat_prior():
+    rng = np.random.RandomState(1)
+    p = FlatPrior(-1.0, 1.0, rng=rng)
+    assert p.get_lnprob_scalar(0.5) == 0.0
+    with pytest.raises(GMixRangeError):
+        p.get_lnprob_scalar(2.0)
+    s = p.sample(1000)
+    assert s.min() >= -1 and s.max() <= 1
+    assert abs(s.mean()) < 0.1
+
+
+def test_two_sided_erf():
+    rng = np.random.RandomState(2)
+    p = TwoSidedErf(0.0, 0.1, 10.0, 0.1, rng=rng)
+    # flat in the middle
+    assert np.allclose(p.get_prob_scalar(5.0), 1.0)
+    assert p.get_prob_scalar(-2.0) < 1e-5
+    assert p.get_lnprob_scalar(5.0) == pytest.approx(0.0, abs=1e-10)
+    # device version matches
+    assert np.allclose(
+        float(p.get_lnprob_device(5.0)), p.get_lnprob_scalar(5.0)
+    )
+    assert np.allclose(
+        float(p.get_fdiff_device(0.02)), p.get_fdiff(0.02), rtol=1e-10
+    )
+    s = p.sample(500)
+    assert ((s > -0.5) & (s < 10.5)).all()
+
+
+def test_normal():
+    rng = np.random.RandomState(3)
+    p = Normal(1.0, 2.0, rng=rng)
+    assert p.get_lnprob(1.0) == 0.0
+    assert np.allclose(p.get_lnprob(3.0), -0.5)
+    assert np.allclose(p.get_fdiff(3.0), 1.0)
+    s = p.sample(nrand=4000)
+    assert abs(s.mean() - 1.0) < 0.15
+    assert abs(s.std() - 2.0) < 0.15
+
+
+def test_lognormal():
+    rng = np.random.RandomState(4)
+    p = LogNormal(1.0, 0.5, rng=rng)
+    # peak lnprob 0 at the mode
+    assert np.allclose(p.get_lnprob_scalar(p.mode), 0.0, atol=1e-12)
+    assert p.get_lnprob_scalar(p.mode * 2) < 0
+    with pytest.raises(GMixRangeError):
+        p.get_lnprob_scalar(-1.0)
+    s = p.sample(20000)
+    assert abs(s.mean() - 1.0) < 0.05
+    assert abs(s.std() - 0.5) < 0.05
+    # device version
+    assert np.allclose(
+        float(p.get_lnprob_device(0.7)), p.get_lnprob_scalar(0.7)
+    )
+    assert float(p.get_lnprob_device(-1.0)) < -1e17
+
+
+def test_lmbounds():
+    rng = np.random.RandomState(5)
+    p = LMBounds(-1.0, 3.0, rng=rng)
+    assert p.get_fdiff(2.0) == 0.0
+    assert p.has_bounds()
+    assert p.bounds == (-1.0, 3.0)
+    s = p.sample(100)
+    assert ((s >= -1) & (s <= 3)).all()
+
+
+def test_sinh():
+    rng = np.random.RandomState(6)
+    p = Sinh(1.0, 0.5, rng=rng)
+    assert p.get_fdiff(1.0) == 0.0
+    assert np.allclose(p.get_fdiff(1.5), np.sinh(1.0))
+
+
+def test_truncated_gaussian():
+    rng = np.random.RandomState(7)
+    p = TruncatedGaussian(0.0, 1.0, -2.0, 2.0, rng=rng)
+    assert p.get_lnprob_scalar(0.0) == 0.0
+    with pytest.raises(GMixRangeError):
+        p.get_lnprob_scalar(3.0)
+    s = p.sample(2000)
+    assert ((s > -2) & (s < 2)).all()
+
+
+def test_cen_prior():
+    rng = np.random.RandomState(8)
+    p = CenPrior(0.1, -0.1, 0.5, 0.5, rng=rng)
+    assert p.get_lnprob_scalar(0.1, -0.1) == 0.0
+    lnp1, lnp2 = p.get_lnprob_scalar_sep(0.6, -0.1)
+    assert np.allclose(lnp1, -0.5)
+    assert np.allclose(lnp2, 0.0)
+    f1, f2 = p.get_fdiff(0.6, -0.1)
+    assert np.allclose(f1, 1.0)
+
+
+def test_gprior_ba():
+    rng = np.random.RandomState(9)
+    p = GPriorBA(sigma=0.3, rng=rng)
+    # max prob 1 at g = 0
+    assert np.allclose(p.get_prob_scalar2d(0.0, 0.0), 1.0)
+    assert np.allclose(p.get_lnprob_scalar2d(0.0, 0.0), 0.0)
+    with pytest.raises(GMixRangeError):
+        p.get_lnprob_scalar2d(0.9, 0.9)
+    # device version matches and is finite-safe
+    assert np.allclose(
+        float(p.get_lnprob_device2d(0.2, 0.1)),
+        p.get_lnprob_scalar2d(0.2, 0.1),
+    )
+    g1, g2 = p.sample2d(3000)
+    g = np.hypot(g1, g2)
+    assert g.max() < 1.0
+    # numeric oracle for <|g|> of the BA distribution
+    gg = np.linspace(0, 1, 20001)
+    pg = gg * (1 - gg**2) ** 2 * np.exp(-0.5 * gg**2 / 0.3**2)
+    mean_g = np.trapezoid(gg * pg, gg) / np.trapezoid(pg, gg)
+    assert abs(np.mean(g) - mean_g) < 0.02
+    g1d = p.sample1d(1000)
+    assert abs(np.mean(g1d) - mean_g) < 0.03
+
+
+def test_gprior_gauss():
+    rng = np.random.RandomState(10)
+    p = GPriorGauss(0.2, rng=rng)
+    g1, g2 = p.sample2d(2000)
+    assert abs(np.std(g1) - 0.2) < 0.02
+    with pytest.raises(NotImplementedError):
+        p.sample1d(10)
+
+
+def test_zdisk2d():
+    rng = np.random.RandomState(11)
+    p = ZDisk2D(2.0, rng=rng)
+    assert p.get_prob_scalar2d(0.5, 0.5) == 1.0
+    assert p.get_prob_scalar2d(2.0, 2.0) == 0.0
+    x, y = p.sample2d(2000)
+    r = np.hypot(x, y)
+    assert r.max() < 2.0
+    # uniform disk: <r> = 2/3 R
+    assert abs(r.mean() - 4.0 / 3.0) < 0.05
+
+
+def test_prior_simple_sep():
+    from _priors import get_prior
+
+    rng = np.random.RandomState(12)
+    prior = get_prior(fit_model="exp", rng=rng)
+
+    pars = np.array([0.0, 0.0, 0.1, -0.05, 2.0, 100.0])
+    lnp = prior.get_lnprob_scalar(pars)
+    assert np.isfinite(lnp)
+
+    rows = np.asarray(prior.fill_fdiff_device(pars))
+    assert rows.shape == (5,)
+    assert np.all(np.isfinite(rows))
+
+    # host fill matches the device rows
+    fdiff = np.zeros(16)
+    n = prior.fill_fdiff(pars, fdiff)
+    assert n == 5
+    assert np.allclose(fdiff[:5], rows)
+
+    s = prior.sample(100)
+    assert s.shape == (100, 6)
+
+    # lnprob array path
+    lnps = prior.get_lnprob_array(s)
+    assert lnps.shape == (100,)
+
+
+def test_prior_simple_sep_multiband():
+    from ngmix_tpu.priors import CenPrior, GPriorBA, TwoSidedErf
+
+    rng = np.random.RandomState(13)
+    prior = PriorSimpleSep(
+        cen_prior=CenPrior(0.0, 0.0, 0.2, 0.2, rng=rng),
+        g_prior=GPriorBA(sigma=0.2, rng=rng),
+        T_prior=TwoSidedErf(-1, 0.1, 100, 1, rng=rng),
+        F_prior=[
+            TwoSidedErf(-1, 0.1, 1e5, 1, rng=rng),
+            TwoSidedErf(-1, 0.1, 1e5, 1, rng=rng),
+        ],
+    )
+    assert prior.nband == 2
+    assert prior.n_prior_pars == 6
+    pars = np.array([0.0, 0.0, 0.1, 0.0, 2.0, 10.0, 20.0])
+    assert np.isfinite(prior.get_lnprob_scalar(pars))
+    assert prior.sample(10).shape == (10, 7)
+
+
+def test_prior_bdf_sep():
+    from _priors import get_prior
+
+    rng = np.random.RandomState(14)
+    prior = get_prior(fit_model="bdf", rng=rng)
+    pars = np.array([0.0, 0.0, 0.1, -0.05, 2.0, 0.5, 100.0])
+    assert np.isfinite(prior.get_lnprob_scalar(pars))
+    rows = np.asarray(prior.fill_fdiff_device(pars))
+    assert rows.shape == (6,)
+    s = prior.sample(50)
+    assert s.shape == (50, 7)
+
+
+def test_fitter_with_prior():
+    """LM fit with priors: rows included, bounds respected"""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from _priors import get_prior
+    from _sims import get_model_obs
+    from ngmix_tpu import Fitter
+
+    rng = np.random.RandomState(15)
+    prior = get_prior(fit_model="exp", rng=rng)
+    data = get_model_obs(
+        rng=rng, model="exp", T=2.0, g1=0.05, g2=0.0, flux=100.0,
+        noise=0.01, dims=(49, 49),
+    )
+    obs = data["obs"]
+    obs.psf.set_gmix(data["psf_gmix"])
+    guess = data["pars"] * rng.uniform(low=0.95, high=1.05, size=6)
+    res = Fitter(model="exp", prior=prior).go(obs, guess)
+    assert res["flags"] == 0
+    assert np.allclose(res["pars"][4], 2.0, rtol=0.05)
+    assert np.allclose(res["pars"][5], 100.0, rtol=0.05)
