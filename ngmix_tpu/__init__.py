@@ -58,6 +58,9 @@ from . import runners  # noqa: F401
 from . import bootstrap  # noqa: F401
 from .bootstrap import Bootstrapper  # noqa: F401
 from .runners import PSFRunner, Runner  # noqa: F401
+from . import metacal  # noqa: F401
+from . import simobs  # noqa: F401
+from .metacal import MetacalBootstrapper  # noqa: F401
 from .admom import AdmomFitter, find_cen_admom, run_admom  # noqa: F401
 from .gaussmom import GaussMom  # noqa: F401
 from .util import print_pars  # noqa: F401

@@ -1,0 +1,359 @@
+"""k-space image operations for metacal.
+
+TPU re-design of the galsim operations used by ngmix/metacal/metacal.py
+(InterpolatedImage / Deconvolve / shear / dilate / Convolve /
+drawImage): everything happens in the pixel-frame Fourier domain on one
+padded FFT grid.
+
+Key identities exploited:
+
+- the lanczos15 real-space interpolant of the reference cancels exactly
+  in the deconvolution I(k)/P(k) (both stamps carry the same interpolant
+  response), so no real-space interpolant is needed at all;
+- a WCS-distorted pixel is the unit square in pixel coordinates, so its
+  k-response is a separable sinc product regardless of the WCS;
+- shearing/dilating a profile is a linear remap k -> M k of its
+  transform; M is within ~|g| of the identity, so the remap is a
+  sub-pixel displacement field evaluated with a normalized Lanczos
+  kernel expressed as a fixed set of lax-rolls (dense VPU work, no
+  gathers).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def good_fft_size(n):
+    """smallest even size >= n with prime factors in {2, 3, 5}"""
+    m = n + (n % 2)
+    while True:
+        k = m
+        for p in (2, 3, 5):
+            while k % p == 0:
+                k //= p
+        if k == 1:
+            return m
+        m += 2
+
+
+def signed_index(N, dtype=None):
+    """signed frequency indices [-N/2, N/2) in fft order, [N]"""
+    return jnp.fft.fftfreq(N, d=1.0 / N).astype(dtype or jnp.result_type(float))
+
+
+def kgrids(N, dtype=None):
+    """pixel-frame angular frequencies (radians/pixel) in fft order.
+
+    Returns (krow [N, 1], kcol [1, N]).
+    """
+    f = jnp.fft.fftfreq(N).astype(dtype or jnp.result_type(float))
+    k = 2 * jnp.pi * f
+    return k[:, None], k[None, :]
+
+
+def centered_fft(img, cen, N):
+    """FFT of a stamp with phases referenced to a (fractional) center.
+
+    Returns khat[N, N] with khat(kappa) = sum_x img(x) e^{-i kappa.(x-cen)}
+    so the profile is effectively centered at the origin.
+    """
+    H, W = img.shape[-2:]
+    pad = jnp.zeros(img.shape[:-2] + (N, N), dtype=img.dtype)
+    pad = pad.at[..., :H, :W].set(img)
+    kr, kc = kgrids(N, dtype=img.dtype)
+    phase = jnp.exp(1j * (kr * cen[..., 0] + kc * cen[..., 1]))
+    return jnp.fft.fft2(pad) * phase
+
+
+def centered_ifft(khat, cen, dims):
+    """inverse of centered_fft: render a centered k-profile into a
+    [dims] stamp whose center lands at (fractional) cen."""
+    N = khat.shape[-1]
+    kr, kc = kgrids(N)
+    phase = jnp.exp(-1j * (kr * cen[..., 0] + kc * cen[..., 1]))
+    full = jnp.fft.ifft2(khat * phase).real
+    return full[..., : dims[0], : dims[1]]
+
+
+def pixel_kresponse(N, dtype=None):
+    """k-response of the (WCS-distorted) pixel: the unit square in
+    pixel coordinates -> separable sinc product. [N, N]"""
+    kr, kc = kgrids(N, dtype=dtype)
+    return jnp.sinc(kr / (2 * jnp.pi)) * jnp.sinc(kc / (2 * jnp.pi))
+
+
+def shear_matrix(g1, g2):
+    """reduced-shear coordinate matrix S (unit det) in this package's
+    sky-vector ordering (v, u) = (row-like, col-like): profile.shear(g)
+    means f'(x) = f(S^-1 x). In (x, y) ordering this is the standard
+    [[1+g1, g2], [g2, 1-g1]] / sqrt(1-g^2); with (v, u) = (y, x) the
+    diagonal swaps so that g1 > 0 elongates along u."""
+    gsq = g1 * g1 + g2 * g2
+    f = 1.0 / np.sqrt(1.0 - gsq)
+    return np.array([[1.0 - g1, g2], [g2, 1.0 + g1]]) * f
+
+
+def kmap_matrix(jac, S):
+    """pixel-frame k-domain matrix for a sky-coordinate transform S:
+    khat'(kappa) = khat(M kappa) with M = J^T S^T J^-T"""
+    J = np.array(
+        [[jac.dvdrow, jac.dvdcol], [jac.dudrow, jac.dudcol]], dtype=float
+    )
+    Jinv = np.linalg.inv(J)
+    return J.T @ S.T @ Jinv.T
+
+
+@partial(jax.jit, static_argnames=("rng_", "a"))
+def _lanczos_remap(khat, dM, rng_, a=3):
+    """evaluate khat at remapped points kappa' = kappa + dM kappa.
+
+    khat: [..., N, N] complex in fft order; dM: [2, 2] (M - I).
+    rng_: static int, the roll radius (must cover a + max displacement).
+    Normalized separable Lanczos-a interpolation over (2 rng_+1)^2
+    fixed rolls.
+    """
+    N = khat.shape[-1]
+    idx = signed_index(N)
+    iy = idx[:, None]
+    ix = idx[None, :]
+    # displacement of the *source* point in index units
+    dy = dM[0, 0] * iy + dM[0, 1] * ix
+    dx = dM[1, 0] * iy + dM[1, 1] * ix
+
+    def lanczos(t):
+        w = jnp.sinc(t) * jnp.sinc(t / a)
+        return jnp.where(jnp.abs(t) < a, w, 0.0)
+
+    out = jnp.zeros_like(khat)
+    wy_sum = jnp.zeros_like(dy)
+    wx_sum = jnp.zeros_like(dx)
+    # precompute axis weight sums for normalization
+    for s in range(-rng_, rng_ + 1):
+        wy_sum = wy_sum + lanczos(dy - s)
+        wx_sum = wx_sum + lanczos(dx - s)
+    norm = wy_sum * wx_sum
+    norm = jnp.where(norm == 0, 1.0, norm)
+
+    for sy in range(-rng_, rng_ + 1):
+        wy = lanczos(dy - sy)
+        rolled_y = jnp.roll(khat, -sy, axis=-2)
+        for sx in range(-rng_, rng_ + 1):
+            w = wy * lanczos(dx - sx)
+            out = out + w * jnp.roll(rolled_y, -sx, axis=-1)
+    return out / norm
+
+
+def _shift_axis(A, s, axis):
+    """evaluate the trig-poly interpolant of A at j + s along axis.
+
+    Exact for data whose conjugate-domain support fits the grid. s may
+    vary along the orthogonal axes (broadcastable); this implements the
+    shear factors of the remap (per-row/-column shifts).
+    """
+    N = A.shape[axis]
+    m = signed_index(N)
+    shape = [1] * A.ndim
+    shape[axis] = N
+    m = m.reshape(shape)
+    Ahat = jnp.fft.fft(A, axis=axis)
+    phase = jnp.exp(2j * jnp.pi * m * s / N)
+    return jnp.fft.ifft(Ahat * phase, axis=axis)
+
+
+def _czt_scale_axis(A, b, axis):
+    """evaluate the trig-poly interpolant of A at b * j along axis
+    (j the signed fft-order index), via a Bluestein chirp transform.
+
+    A(b j) = (1/N) sum_m Ahat_m e^{2 pi i m b j / N}; with
+    m b j = (m^2 + j^2 - (j-m)^2) b / 2 this is a linear convolution
+    against a chirp, done with zero-padded FFTs. Exact.
+    """
+    N = A.shape[axis]
+    L = good_fft_size(2 * N)
+    m = np.arange(N) - N // 2  # natural-order signed index
+
+    # frequencies of A along axis, natural order
+    Ahat = jnp.fft.fftshift(jnp.fft.fft(A, axis=axis), axes=axis)
+
+    shape = [1] * A.ndim
+    shape[axis] = N
+    mg = jnp.asarray(m, A.real.dtype).reshape(shape)
+    chirp = jnp.exp(1j * jnp.pi * b * mg * mg / N)
+    u = Ahat * chirp
+
+    # chirp filter over t = j - m in [-(N-1), N-1]
+    t = np.arange(-(N - 1), N)
+    v_np = np.exp(-1j * np.pi * b * t * t / N)
+    vshape = [1] * A.ndim
+    vshape[axis] = t.size
+    v = jnp.asarray(v_np).reshape(vshape)
+
+    # linear convolution via padded fft along axis
+    pad_u = [(0, 0)] * A.ndim
+    pad_u[axis] = (0, L - N)
+    pad_v = [(0, 0)] * A.ndim
+    pad_v[axis] = (0, L - t.size)
+    U = jnp.fft.fft(jnp.pad(u, pad_u), axis=axis)
+    V = jnp.fft.fft(jnp.pad(v, pad_v), axis=axis)
+    conv = jnp.fft.ifft(U * V, axis=axis)
+
+    # conv index q corresponds to t-origin at q = N-1, so out natural
+    # index jn (j = jn - N//2) lives at q = jn + N - 1 - ... :
+    # conv[q] = sum_m u[mn] v[q - mn] with v index 0 <-> t = -(N-1);
+    # want t = j - m <-> v index j - m + N - 1 = (jn - N//2) - (mn - N//2) + N - 1
+    # so q = jn + N - 1 - mn + mn... q = jn + (N - 1) - 0 when aligned:
+    # q = jn + N - 1 - (N - 1) ... direct: q - mn = jn - mn + N - 1
+    # -> q = jn + N - 1
+    start = N - 1
+    sl = [slice(None)] * A.ndim
+    sl[axis] = slice(start, start + N)
+    out_n = conv[tuple(sl)]
+
+    jg = mg  # same signed grid
+    out_n = out_n * jnp.exp(1j * jnp.pi * b * jg * jg / N) / N
+    return jnp.fft.ifftshift(out_n, axes=axis)
+
+
+def remap_k(khat, M, **unused):
+    """khat'(kappa) = khat(M kappa), exactly.
+
+    The k samples are a trigonometric polynomial (DFT of a compactly
+    supported image), so evaluation at linearly remapped points is
+    exact sinc interpolation. Decompose the unit-determinant M into an
+    upper shear, an axis scaling and a lower shear
+        M = [[1,a],[0,1]] diag(b, 1/b) [[1,0],[c,1]]
+    and apply each factor with FFT phase shifts (shears) and chirp-z
+    transforms (scaling) - ~10 one-dimensional FFT passes total, no
+    interpolation kernels. This is the TPU-native replacement for the
+    reference's galsim quintic k-interpolation, and is exact rather
+    than approximate.
+    """
+    del unused
+    M = np.asarray(M, dtype=float)
+    if abs(M[1, 1]) < 1e-8:
+        raise ValueError("remap matrix too far from identity")
+    b = 1.0 / M[1, 1]
+    a = M[0, 1] / M[1, 1]
+    c = M[1, 0] / M[1, 1]
+    # residual scaling on axis 0 so the factorization is exact even if
+    # det != 1 (dilations): [[b0,0],[0,1/b]] with b0 = M[0,0] - a*c/b...
+    # for det(M)=d: X(a') D(b0, 1/b) Y(c) with entries matched directly
+    # X = [[1, a1],[0,1]], D = diag(d0, d1), Y = [[1,0],[c1,1]]
+    # M = [[d0 + a1 d1 c1, a1 d1], [d1 c1, d1]]
+    d1 = M[1, 1]
+    c1 = M[1, 0] / d1
+    a1d1 = M[0, 1]
+    a1 = a1d1 / d1
+    d0 = M[0, 0] - a1 * d1 * c1
+    del a, b, c
+
+    N = khat.shape[-1]
+    idx = signed_index(N)
+    iy = idx[:, None]
+    ix = idx[None, :]
+
+    out = khat
+    # X: kr -> kr + a1 * kc  (shift along axis -2 by a1 * col index)
+    if a1 != 0.0:
+        out = _shift_axis(out, a1 * ix, axis=-2)
+    # D: kr -> d0 * kr ; kc -> d1 * kc
+    if abs(d0 - 1.0) > 1e-14:
+        out = _czt_scale_axis(out, d0, axis=-2)
+    if abs(d1 - 1.0) > 1e-14:
+        out = _czt_scale_axis(out, d1, axis=-1)
+    # Y: kc -> kc + c1 * kr
+    if c1 != 0.0:
+        out = _shift_axis(out, c1 * iy, axis=-1)
+    return out
+
+
+def deconvolve_k(imhat, psfhat, eps=1.0e-10):
+    """I(k)/P(k) with an amplitude floor to keep the division finite;
+    modes at the floor are strongly suppressed by the target-psf
+    multiplication downstream."""
+    amp = jnp.abs(psfhat)
+    max_amp = jnp.max(amp, axis=(-2, -1), keepdims=True)
+    floor = eps * max_amp
+    safe = jnp.where(amp > floor, psfhat, floor + 0j)
+    return imhat / safe
+
+
+def gauss_kprofile(N, jac, sigma, flux=1.0, dtype=None):
+    """k-space round gaussian of the given sky sigma, evaluated on the
+    pixel-frame k grid (no pixel factor)."""
+    kr, kc = kgrids(N, dtype=dtype)
+    J = np.array(
+        [[jac.dvdrow, jac.dvdcol], [jac.dudrow, jac.dudcol]], dtype=float
+    )
+    Jinv = np.linalg.inv(J)
+    # k_sky = J^-T kappa
+    kv = Jinv[0, 0] * kr + Jinv[1, 0] * kc
+    ku = Jinv[0, 1] * kr + Jinv[1, 1] * kc
+    ksq = kv * kv + ku * ku
+    return flux * jnp.exp(-0.5 * sigma**2 * ksq)
+
+
+def sky_ksq(N, jac, dtype=None):
+    """|k_sky|^2 on the pixel-frame grid"""
+    kr, kc = kgrids(N, dtype=dtype)
+    J = np.array(
+        [[jac.dvdrow, jac.dvdcol], [jac.dudrow, jac.dudcol]], dtype=float
+    )
+    Jinv = np.linalg.inv(J)
+    kv = Jinv[0, 0] * kr + Jinv[1, 0] * kc
+    ku = Jinv[0, 1] * kr + Jinv[1, 1] * kc
+    return kv * kv + ku * ku
+
+
+def gauss_target_sigma(psfhat, ksq, small_kval=1.0e-2, smaller_kval=3.0e-3):
+    """round-gaussian target psf size from k-power pinning.
+
+    ref: ngmix/metacal/metacal.py:828-859 (_get_gauss_target_psf): find
+    the smallest |k_sky|^2 where Re(P)/P(0) < small_kval; the target
+    gaussian has smaller_kval there.
+    """
+    re = psfhat.real / psfhat.real[..., 0:1, 0:1]
+    cond = re < small_kval
+    ksq_max = jnp.min(jnp.where(cond, ksq, jnp.inf), axis=(-2, -1))
+    sigma_sq = -2.0 * jnp.log(smaller_kval) / ksq_max
+    return jnp.sqrt(sigma_sq)
+
+
+def azgauss_target_sigma(psfhat, ksq, nbin, small_kval=3.0e-2,
+                         smaller_kval=9.0e-3):
+    """noise-robust round-gaussian target size from the azimuthally
+    averaged k profile with log-interpolated threshold crossing.
+
+    ref: ngmix/metacal/azgauss_target_psf.py:40-136. The annulus width
+    is the grid dk (the reference uses stepk/4 of its own k image; the
+    pinning is a threshold-crossing so the binning choice only shifts
+    the result at the percent level).
+    """
+    re = psfhat.real / psfhat.real[..., 0:1, 0:1]
+    kmag = jnp.sqrt(ksq)
+    dk = kmag[0, 1] if kmag.ndim == 2 else kmag[..., 0, 1]
+    ibin = jnp.rint(kmag / dk).astype(jnp.int32)
+    ibin_flat = ibin.reshape(-1)
+    num = jnp.bincount(ibin_flat, length=nbin)
+    tot = jnp.bincount(ibin_flat, weights=re.reshape(-1), length=nbin)
+    prof = jnp.where(num > 0, tot / jnp.where(num > 0, num, 1), jnp.inf)
+
+    thresh = small_kval
+    below = prof < thresh
+    # first annulus below threshold
+    i = jnp.argmax(below)
+    i = jnp.maximum(i, 1)
+    p0 = prof[i - 1]
+    p1 = prof[i]
+    pos = (p0 > 0) & (p1 > 0)
+    frac_log = (jnp.log(thresh) - jnp.log(jnp.abs(p0) + 1e-300)) / (
+        jnp.log(jnp.abs(p1) + 1e-300) - jnp.log(jnp.abs(p0) + 1e-300)
+    )
+    frac_lin = (thresh - p0) / jnp.where(p1 != p0, p1 - p0, 1.0)
+    frac = jnp.where(pos, frac_log, frac_lin)
+    k_cross = (i - 1 + frac) * dk
+    ksq_max = k_cross**2
+    sigma_sq = -2.0 * jnp.log(smaller_kval) / ksq_max
+    return jnp.sqrt(sigma_sq)

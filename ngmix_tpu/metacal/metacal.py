@@ -1,0 +1,356 @@
+"""Metacal image engine: deconvolve -> shear -> reconvolve.
+
+TPU re-design of ngmix/metacal/metacal.py:18-859, replacing the galsim
+operations with the on-device k-space pipeline in kops.py:
+
+    I_t(x) = IFFT[ (I(k)/P(k))(M_s k) * T(k) ]
+
+with M_s the shear's k-domain matrix mapped through the WCS, P the
+pixel-convolved psf transform, and T the target psf (round gaussian x
+pixel for the gauss/azgauss variants, the dilated original psf for the
+dilate variant).
+
+The host classes mirror the reference API (MetacalDilatePSF,
+MetacalGaussPSF, MetacalAzGaussPSF, MetacalFitGaussPSF,
+MetacalAnalyticPSF) and produce Observations; the heavy work is jitted
+per stamp-shape configuration.
+"""
+import copy
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gexceptions import GMixRangeError
+from ..shape import Shape
+from . import kops
+from .defaults import DEFAULT_STEP, METACAL_MINIMAL_TYPES, METACAL_TYPES
+
+__all__ = [
+    "MetacalDilatePSF",
+    "MetacalAzGaussPSF",
+    "MetacalGaussPSF",
+    "MetacalFitGaussPSF",
+    "MetacalAnalyticPSF",
+]
+
+logger = logging.getLogger(__name__)
+
+
+def _check_shape(shape):
+    if not isinstance(shape, Shape):
+        raise TypeError("shape must be of type ngmix_tpu.Shape")
+
+
+def _dilation(shear):
+    """dilation = 1 + 2|g| (ref: metacal.py:801-817)"""
+    g = np.sqrt(shear.g1**2 + shear.g2**2)
+    return 1.0 + 2.0 * g
+
+
+@partial(jax.jit, static_argnames=("N",))
+def _prepare_kdata(image, im_cen, psf_image, psf_cen, N):
+    """FFTs of image and psf, the deconvolved object transform, and the
+    pixel response"""
+    imhat = kops.centered_fft(image + 0j, im_cen, N)
+    psfhat = kops.centered_fft(psf_image + 0j, psf_cen, N)
+    # normalize psf to unit flux so deconvolution preserves image flux
+    psf_flux = psfhat[..., 0, 0].real
+    psfhat_n = psfhat / psf_flux
+    objhat = kops.deconvolve_k(imhat, psfhat_n)
+    pix = kops.pixel_kresponse(N, dtype=image.dtype)
+    return imhat, psfhat, objhat, pix
+
+
+@jax.jit
+def _apply_target(objhat_remapped, that, out_cen, dims_r, dims_c):
+    del dims_r, dims_c
+    return objhat_remapped * that
+
+
+class _KData(object):
+    """precomputed k-space data for one observation"""
+
+    def __init__(self, obs):
+        self.obs = obs
+        if not obs.has_psf():
+            raise ValueError("observation must have a psf observation set")
+
+        im = obs.image
+        psf_im = obs.psf.image
+        jac = obs.jacobian
+        psf_jac = obs.psf.jacobian
+
+        # the pipeline shares one k grid: the image and psf must share
+        # the WCS matrix (true for all survey stamps)
+        m1 = np.array([[jac.dvdrow, jac.dvdcol], [jac.dudrow, jac.dudcol]])
+        m2 = np.array(
+            [[psf_jac.dvdrow, psf_jac.dvdcol],
+             [psf_jac.dudrow, psf_jac.dudcol]]
+        )
+        if not np.allclose(m1, m2, rtol=1.0e-6):
+            raise ValueError(
+                "image and psf observations must share the same WCS "
+                "matrix for the k-space metacal pipeline"
+            )
+
+        self.jac = jac
+        self.dims = im.shape
+        self.psf_dims = psf_im.shape
+        self.N = kops.good_fft_size(4 * max(max(im.shape), max(psf_im.shape)))
+
+        self.im_cen = jnp.asarray(jac.get_cen())
+        self.psf_cen = jnp.asarray(psf_jac.get_cen())
+
+        self.imhat, self.psfhat, self.objhat, self.pix = _prepare_kdata(
+            jnp.asarray(im), self.im_cen, jnp.asarray(psf_im), self.psf_cen,
+            self.N,
+        )
+        self.psf_flux = float(np.sum(psf_im))
+
+    def sheared_objhat(self, shear):
+        """object transform resampled at the sheared k points"""
+        S = kops.shear_matrix(shear.g1, shear.g2)
+        M = kops.kmap_matrix(self.jac, S)
+        return kops.remap_k(self.objhat, M)
+
+    def render(self, khat, dims, cen):
+        return np.asarray(
+            kops.centered_ifft(khat, jnp.asarray(cen), dims)
+        )
+
+
+class MetacalDilatePSF(object):
+    """metacal with the dilated original psf as the reconvolution
+    target (API parity: ngmix/metacal/metacal.py:69-488)."""
+
+    def __init__(self, obs):
+        self.obs = obs
+        self.kdata = _KData(obs)
+        self._psf_cache = {}
+
+    types_default = METACAL_TYPES
+
+    def get_all(self, step=DEFAULT_STEP, types=None):
+        """get the metacal image dict (ref: metacal.py:118-197)"""
+        if types is None:
+            types = copy.deepcopy(self.types_default)
+        else:
+            for t in types:
+                assert t in self.types_default, "bad metacal type: %s" % t
+
+        if "noshear" in types and "1p" not in types:
+            types.append("1p")
+
+        shdict = {
+            "1m": Shape(-step, 0.0),
+            "1p": Shape(+step, 0.0),
+            "2m": Shape(0.0, -step),
+            "2p": Shape(0.0, +step),
+        }
+        for key in list(shdict.keys()):
+            shdict["%s_psf" % key] = shdict[key].copy()
+
+        odict = {}
+        for type_ in types:
+            if type_ == "noshear":
+                continue
+            sh = shdict[type_]
+            if "psf" in type_:
+                obs = self.get_obs_psfshear(sh)
+            else:
+                if type_ == "1p":
+                    obs, obs_noshear = self.get_obs_galshear(
+                        sh, get_unsheared=True
+                    )
+                    odict["noshear"] = obs_noshear
+                else:
+                    obs = self.get_obs_galshear(sh)
+            odict[type_] = obs
+        return {k: odict[k] for k in types if k in odict}
+
+    def get_obs_galshear(self, shear, get_unsheared=False):
+        """sheared-galaxy observation (ref: metacal.py:199-233)"""
+        _check_shape(shear)
+        newpsf_image, that = self.get_target_psf(shear, "gal_shear")
+
+        sheared_objhat = self.kdata.sheared_objhat(shear)
+        sheared_image = self._draw_image(sheared_objhat * that)
+        newobs = self._make_obs(sheared_image, newpsf_image)
+
+        if get_unsheared:
+            unsheared_image = self._draw_image(self.kdata.objhat * that)
+            uobs = self._make_obs(unsheared_image, newpsf_image)
+            return newobs, uobs
+        return newobs
+
+    def get_obs_psfshear(self, shear):
+        """sheared-psf observation (ref: metacal.py:235-248)"""
+        _check_shape(shear)
+        newpsf_image, that = self.get_target_psf(shear, "psf_shear")
+        conv_image = self._draw_image(self.kdata.objhat * that)
+        return self._make_obs(conv_image, newpsf_image)
+
+    def get_target_psf(self, shear, type_):
+        """target psf image and k-transform, cached per shear
+        (ref: metacal.py:250-294)"""
+        _check_shape(shear)
+        doshear = type_ == "psf_shear"
+        key = "%s-%s-%s" % (doshear, shear.g1, shear.g2)
+        if key not in self._psf_cache:
+            that = self._get_dilated_psf_k(shear, doshear=doshear)
+            psf_image = self._draw_psf_image(that)
+            self._psf_cache[key] = (psf_image, that)
+        psf_image, that = self._psf_cache[key]
+        return psf_image.copy(), that
+
+    def _get_dilated_psf_k(self, shear, doshear=False):
+        """k-transform of the dilated (and possibly sheared) original
+        psf, reconvolved by the pixel (ref: metacal.py:292-316)"""
+        kd = self.kdata
+        psf_flux = kd.psfhat[0, 0].real
+        psf_nopix = kd.psfhat / jnp.where(
+            jnp.abs(kd.pix) > 1e-8, kd.pix, 1e-8
+        ) / psf_flux
+
+        d = _dilation(shear)
+        M = np.eye(2) * d
+        if doshear:
+            S = kops.shear_matrix(shear.g1, shear.g2)
+            M = kops.kmap_matrix(kd.jac, S) @ M
+        dilated = kops.remap_k(psf_nopix, M)
+        return dilated * kd.pix
+
+    def _draw_image(self, khat):
+        kd = self.kdata
+        return kd.render(khat, kd.dims, kd.obs.jacobian.get_cen())
+
+    def _draw_psf_image(self, that):
+        kd = self.kdata
+        im = kd.render(
+            that * kd.psf_flux, kd.psf_dims, kd.obs.psf.jacobian.get_cen()
+        )
+        return im
+
+    def _make_psf_obs(self, psf_im):
+        new_psf_obs = self.obs.psf.copy()
+        with new_psf_obs.writeable():
+            new_psf_obs.image[:, :] = psf_im
+        return new_psf_obs
+
+    def _make_obs(self, im, psf_im):
+        newobs = self.obs.copy()
+        with newobs.writeable():
+            newobs.image[:, :] = im
+        newobs.psf = self._make_psf_obs(psf_im)
+        return newobs
+
+
+class MetacalAzGaussPSF(MetacalDilatePSF):
+    """round gaussian target from the azimuthal k-power profile
+    (API parity: ngmix/metacal/metacal.py:491-614)."""
+
+    types_default = METACAL_MINIMAL_TYPES
+
+    def __init__(self, obs, rng=None):
+        super().__init__(obs=obs)
+        self.rng = rng
+        self._setup_psf_noise()
+
+    def _setup_psf_noise(self):
+        pim = self.obs.psf.image
+        self.psf_flux = pim.sum()
+        self.psf_noise = pim.max() / 50000.0
+        if self.rng is not None:
+            self.psf_noise_image = self.rng.normal(
+                size=pim.shape, scale=self.psf_noise
+            )
+        else:
+            self.psf_noise_image = None
+        self.psf_weight = pim * 0 + 1.0 / self.psf_noise**2
+
+    def _get_target_sigma(self):
+        kd = self.kdata
+        ksq = kops.sky_ksq(kd.N, kd.jac)
+        return float(
+            kops.azgauss_target_sigma(kd.psfhat, ksq, nbin=kd.N)
+        )
+
+    def _get_dilated_psf_k(self, shear, doshear=False):
+        assert doshear is False, "no shearing gauss psf"
+        if not hasattr(self, "_target_sigma"):
+            self._target_sigma = self._get_target_sigma()
+        kd = self.kdata
+        sigma = self._target_sigma * _dilation(shear)
+        return kops.gauss_kprofile(kd.N, kd.jac, sigma) * kd.pix
+
+    def _make_psf_obs(self, psf_im):
+        if self.psf_noise_image is not None:
+            psf_im = psf_im + self.psf_noise_image
+        new_psf_obs = self.obs.psf.copy()
+        with new_psf_obs.writeable():
+            new_psf_obs.image[:, :] = psf_im
+            new_psf_obs.weight[:, :] = self.psf_weight
+            cen = (np.array(psf_im.shape) - 1.0) / 2.0
+            new_psf_obs.jacobian.set_cen(row=cen[0], col=cen[1])
+        return new_psf_obs
+
+    def _draw_psf_image(self, that):
+        """draw the analytic gaussian psf at the exact stamp center"""
+        kd = self.kdata
+        cen = (np.array(kd.psf_dims) - 1.0) / 2.0
+        return kd.render(that * kd.psf_flux, kd.psf_dims, cen)
+
+
+class MetacalGaussPSF(MetacalAzGaussPSF):
+    """round gaussian target from per-pixel k-power pinning
+    (API parity: ngmix/metacal/metacal.py:616-665)."""
+
+    def _get_target_sigma(self):
+        kd = self.kdata
+        ksq = kops.sky_ksq(kd.N, kd.jac)
+        return float(kops.gauss_target_sigma(kd.psfhat, ksq))
+
+
+class MetacalFitGaussPSF(MetacalGaussPSF):
+    """round gaussian target from a gaussian fit to the psf
+    (API parity: ngmix/metacal/metacal.py:668-742 +
+    fitgauss_target_psf.py:9-130)."""
+
+    def __init__(self, obs, rng=None):
+        if rng is None:
+            raise ValueError("send an rng to MetacalFitGaussPSF")
+        super().__init__(obs=obs, rng=rng)
+
+    def _get_target_sigma(self):
+        from .fitgauss_target_psf import get_fitgauss_target_T
+
+        T = get_fitgauss_target_T(self.obs.psf, rng=self.rng)
+        return np.sqrt(T / 2.0)
+
+
+class MetacalAnalyticPSF(MetacalGaussPSF):
+    """use an input round gaussian profile for the reconvolution
+    kernel. The reference takes any galsim object
+    (ngmix/metacal/metacal.py:744-777); here the analytic kernel is
+    specified as a gaussian sky sigma or an ngmix_tpu GMix (from which
+    the sigma is taken)."""
+
+    def __init__(self, obs, psf, rng=None):
+        from ..gmix.gmix import GMix
+
+        if isinstance(psf, GMix):
+            sigma = np.sqrt(psf.get_T() / 2.0)
+        elif np.isscalar(psf):
+            sigma = float(psf)
+        else:
+            raise ValueError(
+                "psf must be a GMix or a gaussian sigma (sky units)"
+            )
+        self._analytic_sigma = sigma
+        super().__init__(obs=obs, rng=rng)
+
+    def _get_target_sigma(self):
+        return self._analytic_sigma
