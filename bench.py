@@ -1,0 +1,140 @@
+"""Benchmark: stamps fitted/sec/chip for the full metacal workload.
+
+Workload per stamp (the BASELINE.json headline config): derive the
+round target psf from the psf stamp, build the 5-type metacal image set
+with fixnoise (10 k-space pipelines), and fit an exp model with the
+bounded LM fitter to every type - all one jitted batched program.
+
+Correctness gate: the recovered multiplicative shear bias m is computed
+from the same run and reported alongside throughput.
+
+Baseline: the reference publishes no throughput numbers; its metacal
+example docstring reports "about a minute" for 1000 trials of the
+lighter gaussmom-measure workload on a laptop CPU
+(examples/metacal/metacal.py:48-57), i.e. ~16.7 stamps/s single-core.
+vs_baseline is measured throughput relative to 50x that number (the
+BASELINE.md north-star target), so vs_baseline >= 1 means the target is
+met.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ngmix_tpu.batch import (
+    MetacalConfig,
+    make_metacal_pipeline_fn,
+    shear_response,
+)
+from ngmix_tpu.gmix import core as gcore
+
+NGMIX_SINGLE_CORE_STAMPS_PER_SEC = 16.7
+TARGET_MULTIPLE = 50.0
+
+SCALE = 0.263
+DIMS = (49, 49)
+PSF_DIMS = (25, 25)
+SHEAR_TRUE = 0.02
+NOISE = 1.0e-4
+
+
+def make_sim_batch(key, B, dtype=jnp.float32):
+    """render B exp-galaxy stamps with a turb psf, sheared by
+    SHEAR_TRUE, with random subpixel offsets - one jitted program"""
+    kc, ko, kn, knz = jax.random.split(key, 4)
+
+    gal_pars = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.5, 100.0], dtype), (B, 6)
+    )
+    gal, _ = gcore.fill_exp(gal_pars)
+    gal = gcore.gmix_get_sheared(gal, SHEAR_TRUE, 0.0)
+    psf_pars = jnp.asarray([0.0, 0.0, 0.025, -0.01, 0.27, 1.0], dtype)
+    psf, _ = gcore.fill_turb(psf_pars)
+    conv = gcore.gmix_convolve(gal, jnp.broadcast_to(psf, (B, 3, 6)))
+
+    offsets = jax.random.uniform(ko, (B, 2), dtype, -0.5, 0.5)
+    cens = jnp.asarray([(DIMS[0] - 1) / 2.0, (DIMS[1] - 1) / 2.0], dtype) + offsets
+
+    rows = jnp.arange(DIMS[0], dtype=dtype)
+    cols = jnp.arange(DIMS[1], dtype=dtype)
+    rr, cc = jnp.meshgrid(rows, cols, indexing="ij")
+    v = (rr.reshape(-1)[None, :] - cens[:, 0:1]) * SCALE
+    u = (cc.reshape(-1)[None, :] - cens[:, 1:2]) * SCALE
+    imgs = gcore.eval_gmix(conv, v, u, SCALE**2, fast=False)
+    imgs = imgs.reshape(B, *DIMS)
+    imgs = imgs + jax.random.normal(kn, imgs.shape, dtype) * NOISE
+
+    pcen = jnp.asarray([(PSF_DIMS[0] - 1) / 2.0, (PSF_DIMS[1] - 1) / 2.0], dtype)
+    prows = jnp.arange(PSF_DIMS[0], dtype=dtype)
+    pcols = jnp.arange(PSF_DIMS[1], dtype=dtype)
+    prr, pcc = jnp.meshgrid(prows, pcols, indexing="ij")
+    pv = (prr.reshape(-1) - pcen[0]) * SCALE
+    pu = (pcc.reshape(-1) - pcen[1]) * SCALE
+    pimg = gcore.eval_gmix(psf, pv, pu, SCALE**2, fast=False).reshape(PSF_DIMS)
+    pimgs = jnp.broadcast_to(pimg, (B,) + PSF_DIMS)
+
+    weights = jnp.full((B,) + DIMS, 1.0 / NOISE**2, dtype)
+    noise_field = jax.random.normal(knz, (B,) + DIMS, dtype) * NOISE
+    pcens = jnp.broadcast_to(pcen, (B, 2))
+    return imgs, weights, cens, pimgs, pcens, noise_field
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    nrep = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+    key = jax.random.PRNGKey(314)
+    args = jax.block_until_ready(make_sim_batch(key, B))
+
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0.0, 0.0, SCALE),
+        fixnoise=True, pad_factor=2,
+    )
+    fn = make_metacal_pipeline_fn(conf, measure="exp-lm")
+
+    def run_once():
+        res = fn(*args)
+        # fetch a scalar: block_until_ready alone does not force
+        # execution on remote-tunnel backends
+        float(jnp.sum(res["noshear"]["pars"]))
+        return res
+
+    # compile
+    res = run_once()
+
+    t0 = time.time()
+    for _ in range(nrep):
+        res = run_once()
+    per = (time.time() - t0) / nrep
+    stamps_per_sec = B / per
+
+    sr = shear_response(res)
+    m = float(sr["shear"][0]) / SHEAR_TRUE - 1.0
+    nbad = int(np.sum(np.asarray(res["noshear"]["flags"]) != 0))
+
+    out = {
+        "metric": "metacal_exp_lm_stamps_per_sec_per_chip",
+        "value": round(stamps_per_sec, 1),
+        "unit": "stamps/s/chip",
+        "vs_baseline": round(
+            stamps_per_sec / (NGMIX_SINGLE_CORE_STAMPS_PER_SEC * TARGET_MULTIPLE), 3
+        ),
+        "extra": {
+            "batch": B,
+            "sec_per_batch": round(per, 4),
+            "shear_bias_m": float(f"{m:.3e}"),
+            "n_failed": nbad,
+            "backend": jax.default_backend(),
+            "note": "vs_baseline is relative to 50x ngmix single-core "
+                    "(~16.7 stamps/s); >=1 meets the north-star target",
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

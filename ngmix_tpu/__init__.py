@@ -52,6 +52,9 @@ from . import fitting  # noqa: F401
 from .em import EMFitter, run_em  # noqa: F401
 from .fitting import CoellipFitter, Fitter, PSFFluxFitter  # noqa: F401
 from . import admom  # noqa: F401
+from . import prepsfmom  # noqa: F401
+from . import ksigmamom  # noqa: F401
+from .prepsfmom import KSigmaMom, PGaussMom  # noqa: F401
 from . import gaussmom  # noqa: F401
 from . import guessers  # noqa: F401
 from . import runners  # noqa: F401

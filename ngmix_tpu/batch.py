@@ -1,0 +1,273 @@
+"""Batched survey-scale pipeline: metacal + measurement over [B] stamps.
+
+This is the TPU-native scale-out layer the reference lacks entirely
+(SURVEY 2.3: the reference loops objects in single-threaded python;
+production throughput comes from external process farming). Here the
+whole workload - psf target derivation, the 5-type k-space metacal
+image set with optional fixnoise, and the per-type measurements - is
+one jitted program over stacked [B, H, W] arrays, sharding over the
+batch axis on a device mesh (see parallel/).
+"""
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gaussmom import gaussmom_measure
+from .gmix import core as gcore
+from .fitting.lm import LMConf, run_lm
+from .jacobian import Jacobian
+from .metacal import kops
+from .metacal.defaults import DEFAULT_STEP
+from .pixels import Pixels
+
+
+class MetacalConfig(NamedTuple):
+    """static configuration for the batched metacal pipeline"""
+
+    dims: tuple  # (H, W) galaxy stamps
+    psf_dims: tuple  # (Hp, Wp) psf stamps
+    jac: tuple  # (dvdrow, dvdcol, dudrow, dudcol) shared WCS matrix
+    step: float = DEFAULT_STEP
+    types: tuple = ("noshear", "1p", "1m", "2p", "2m")
+    fixnoise: bool = True
+    psf_mode: str = "gauss"  # 'gauss' | 'azgauss'
+    pad_factor: int = 4  # FFT grid = pad_factor * stamp size
+
+
+def _host_jacobian(conf, row0=0.0, col0=0.0):
+    return Jacobian(
+        row=row0, col=col0, dvdrow=conf.jac[0], dvdcol=conf.jac[1],
+        dudrow=conf.jac[2], dudcol=conf.jac[3],
+    )
+
+
+def _type_shear(type_, step):
+    return {
+        "noshear": (0.0, 0.0),
+        "1p": (step, 0.0),
+        "1m": (-step, 0.0),
+        "2p": (0.0, step),
+        "2m": (0.0, -step),
+    }[type_]
+
+
+def metacal_image_set(images, cens, psf_images, psf_cens, conf: MetacalConfig):
+    """produce the metacal image set for a batch.
+
+    images [B, H, W]; cens [B, 2]; psf_images [B, Hp, Wp];
+    psf_cens [B, 2]. Returns (dict type -> [B, H, W] images,
+    target_sigma [B] of the *undilated* round target psf).
+    """
+    N = kops.good_fft_size(
+        conf.pad_factor * max(max(conf.dims), max(conf.psf_dims))
+    )
+    jac = _host_jacobian(conf)
+
+    imhat = _batched_centered_fft(images, cens, N)
+    psfhat = _batched_centered_fft(psf_images, psf_cens, N)
+
+    psf_flux = psfhat[:, 0, 0].real[:, None, None]
+    objhat = kops.deconvolve_k(imhat, psfhat / psf_flux)
+    pix = kops.pixel_kresponse(N, dtype=images.dtype)
+
+    ksq = kops.sky_ksq(N, jac, dtype=images.dtype)
+    if conf.psf_mode == "azgauss":
+        sigma = jax.vmap(
+            lambda ph: kops.azgauss_target_sigma(ph, ksq, nbin=N)
+        )(psfhat)
+    else:
+        sigma = kops.gauss_target_sigma(psfhat, ksq)
+
+    dilation = 1.0 + 2.0 * conf.step
+    sig_d = sigma * dilation
+
+    out = {}
+    for type_ in conf.types:
+        g1, g2 = _type_shear(type_, conf.step)
+        if type_ == "noshear":
+            sheared = objhat
+        else:
+            S = kops.shear_matrix(g1, g2)
+            M = kops.kmap_matrix(jac, S)
+            sheared = kops.remap_k(objhat, M)
+        ghat = jnp.exp(-0.5 * (sig_d[:, None, None] ** 2) * ksq)
+        out[type_] = _batched_centered_ifft(
+            sheared * ghat * pix, cens, conf.dims
+        )
+    return out, sigma
+
+
+def _batched_centered_fft(img, cens, N):
+    H, W = img.shape[-2:]
+    pad = jnp.zeros(img.shape[:-2] + (N, N), dtype=jnp.complex128
+                    if img.dtype == jnp.float64 else jnp.complex64)
+    pad = pad.at[..., :H, :W].set(img)
+    kr, kc = kops.kgrids(N, dtype=img.real.dtype)
+    phase = jnp.exp(
+        1j * (kr * cens[:, 0, None, None] + kc * cens[:, 1, None, None])
+    )
+    return jnp.fft.fft2(pad) * phase
+
+
+def _batched_centered_ifft(khat, cens, dims):
+    N = khat.shape[-1]
+    kr, kc = kops.kgrids(N)
+    phase = jnp.exp(
+        -1j * (kr * cens[:, 0, None, None] + kc * cens[:, 1, None, None])
+    )
+    full = jnp.fft.ifft2(khat * phase).real
+    return full[..., : dims[0], : dims[1]]
+
+
+def make_pixels_batch(images, weights, cens, conf: MetacalConfig):
+    """[B,H,W] images -> batched Pixels with per-stamp centers"""
+    H, W = conf.dims
+    rows = jnp.arange(H, dtype=images.dtype)
+    cols = jnp.arange(W, dtype=images.dtype)
+    rr, cc = jnp.meshgrid(rows, cols, indexing="ij")
+    rflat = rr.reshape(-1)[None, :] - cens[:, 0:1]
+    cflat = cc.reshape(-1)[None, :] - cens[:, 1:2]
+    dvdrow, dvdcol, dudrow, dudcol = conf.jac
+    v = dvdrow * rflat + dvdcol * cflat
+    u = dudrow * rflat + dudcol * cflat
+    area = abs(dvdrow * dudcol - dvdcol * dudrow)
+    val = images.reshape(images.shape[0], -1)
+    ierr = jnp.sqrt(jnp.clip(weights.reshape(val.shape), 0.0, None))
+    return Pixels(
+        v=v, u=u, area=jnp.full_like(val, area), val=val, ierr=ierr
+    )
+
+
+def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
+                     conf: MetacalConfig, measure="gaussmom",
+                     measure_fwhm=1.2, lm_conf=None):
+    """full batched pipeline: metacal image set (+fixnoise) and
+    measurement of every type.
+
+    noise: [B, H, W] noise field for fixnoise (pass zeros with
+    fixnoise=False). Returns dict type -> result dict of batched
+    arrays (gaussmom moments result or exp-LM fit result).
+    """
+    odict, sigma = metacal_image_set(
+        images, cens, psf_images, psf_cens, conf
+    )
+
+    if conf.fixnoise:
+        # rotate the noise field by 90 deg, metacal it, rotate back and
+        # add; variance doubles (ref: convenience.py:208-312)
+        cen_c = jnp.full_like(cens, (conf.dims[0] - 1) / 2.0)
+        noise_rot = jnp.rot90(noise, k=1, axes=(-2, -1))
+        ndict, _ = metacal_image_set(
+            noise_rot, cen_c, psf_images, psf_cens, conf
+        )
+        for t in odict:
+            odict[t] = odict[t] + jnp.rot90(ndict[t], k=3, axes=(-2, -1))
+        weights = weights * 0.5
+
+    dilation = 1.0 + 2.0 * conf.step
+    sig_d = sigma * dilation
+    area = abs(conf.jac[0] * conf.jac[3] - conf.jac[1] * conf.jac[2])
+
+    results = {}
+    for t, ims in odict.items():
+        pixels = make_pixels_batch(ims, weights, cens, conf)
+        if measure == "gaussmom":
+            results[t] = gaussmom_measure(pixels, measure_fwhm, area)
+        elif measure == "exp-lm":
+            results[t] = _exp_lm_measure(
+                pixels, sig_d, lm_conf or LMConf()
+            )
+        else:
+            raise ValueError("bad measure: %s" % measure)
+    results["psf_sigma"] = sigma
+    return results
+
+
+def _exp_lm_fdiff(pars, data):
+    """exp-model residuals for one stamp with an analytic round
+    gaussian psf (the known metacal target)"""
+    pixels, psf_gmix = data
+    gm0, gflags = gcore.fill_exp(pars)
+    gm = gcore.gmix_convolve(gm0, psf_gmix)
+    rows = gcore.fill_fdiff(gm, pixels)
+    bad = (gflags != 0) | (gcore.gmix_flags(gm) != 0)
+    return jnp.where(bad, 1.0e10, rows)
+
+
+def _exp_lm_measure(pixels, psf_sigma, lm_conf):
+    """vmapped exp LM fit over the batch; psf is the analytic round
+    target gaussian"""
+    B = pixels.val.shape[0]
+    dtype = pixels.val.dtype
+    psf_gmix = jnp.zeros((B, 1, 6), dtype)
+    psf_gmix = psf_gmix.at[:, 0, 0].set(1.0)
+    psf_gmix = psf_gmix.at[:, 0, 3].set(psf_sigma**2)
+    psf_gmix = psf_gmix.at[:, 0, 5].set(psf_sigma**2)
+
+    # moment-based starting guesses
+    wsum = jnp.sum(pixels.val * (pixels.ierr > 0), axis=-1)
+    guess = jnp.stack(
+        [
+            jnp.zeros(B, dtype),
+            jnp.zeros(B, dtype),
+            jnp.zeros(B, dtype),
+            jnp.zeros(B, dtype),
+            jnp.full((B,), 0.5, dtype),
+            wsum,
+        ],
+        axis=-1,
+    )
+    lo = jnp.full(6, -jnp.inf, dtype)
+    hi = jnp.full(6, jnp.inf, dtype)
+
+    out = jax.vmap(
+        lambda p, g, pg: run_lm(
+            _exp_lm_fdiff, (p, pg), g, lo, hi, lm_conf
+        )
+    )(pixels, guess, psf_gmix)
+    out["e1"] = out["pars"][:, 2]
+    out["e2"] = out["pars"][:, 3]
+    out["T"] = out["pars"][:, 4]
+    out["flux"] = out["pars"][:, 5]
+    return out
+
+
+def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
+                             measure_fwhm=1.2):
+    """jitted batched pipeline closure"""
+
+    @jax.jit
+    def fn(images, weights, cens, psf_images, psf_cens, noise):
+        return metacal_pipeline(
+            images, weights, cens, psf_images, psf_cens, noise, conf,
+            measure=measure, measure_fwhm=measure_fwhm,
+        )
+
+    return fn
+
+
+def shear_response(results, step=DEFAULT_STEP):
+    """mean shear and response from a batched metacal result dict.
+
+    Returns dict with e_mean [2], R [2, 2], shear [2] = R^-1 e_mean
+    (the standard metacal estimator). Reductions are jnp so they psum
+    cleanly under shard_map.
+    """
+    def mean_e(t):
+        ok = results[t]["flags"] == 0
+        n = jnp.sum(ok)
+        e1 = jnp.sum(jnp.where(ok, results[t]["e1"], 0.0)) / n
+        e2 = jnp.sum(jnp.where(ok, results[t]["e2"], 0.0)) / n
+        return jnp.stack([e1, e2])
+
+    e_ns = mean_e("noshear")
+    R11 = (mean_e("1p")[0] - mean_e("1m")[0]) / (2 * step)
+    R22 = (mean_e("2p")[1] - mean_e("2m")[1]) / (2 * step)
+    R12 = (mean_e("2p")[0] - mean_e("2m")[0]) / (2 * step)
+    R21 = (mean_e("1p")[1] - mean_e("1m")[1]) / (2 * step)
+    R = jnp.array([[R11, R12], [R21, R22]])
+    shear = jnp.linalg.solve(R, e_ns)
+    return {"e_mean": e_ns, "R": R, "shear": shear}

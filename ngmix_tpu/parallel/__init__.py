@@ -1,0 +1,5 @@
+from .mesh import (  # noqa: F401
+    make_mesh,
+    make_sharded_pipeline_fn,
+    sharded_shear_response,
+)

@@ -1,0 +1,430 @@
+"""Pre-PSF moments measured in Fourier space (KSigmaMom, PGaussMom).
+
+TPU re-design of ngmix/prepsfmom.py:43-923: zero-pad + apodize the
+stamp, FFT image and psf, deconvolve with an amplitude floor, phase
+shift to the jacobian center, and dot masked k-space kernels against
+the modes. The reference compacts to the kernel's nonzero modes with
+boolean masks; here everything stays on the full static [N, N] grid
+with multiplicative masks (jit/vmap friendly), which also makes the
+whole measurement one fused program.
+"""
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .defaults import FASTEXP_MAX_CHI2
+from .gexceptions import FFTRangeError
+from .moments import fwhm_to_sigma, make_mom_result, result_to_host
+from .observation import Observation
+
+logger = logging.getLogger(__name__)
+
+
+def _ap_kern_kern(x, m, h):
+    """cumulative triweight kernel (ref: prepsfmom.py:424-440)"""
+    y = (x - m) / h + 3
+    val = (
+        -5 * y**7 / 69984
+        + 7 * y**5 / 2592
+        - 35 * y**3 / 864
+        + 35 * y / 96
+        + 1.0 / 2.0
+    )
+    return jnp.where(y < -3, 0.0, jnp.where(y > 3, 1.0, val))
+
+
+def apodization_mask(dims, ap_rad):
+    """square stamp-edge apodization (ref: prepsfmom.py:443-456)"""
+    ap_range = int(6 * ap_rad + 0.5)
+    ny, nx = dims
+    y = jnp.arange(ny, dtype=jnp.result_type(float))
+    x = jnp.arange(nx, dtype=jnp.result_type(float))
+    wy = _ap_kern_kern(y, ap_range, ap_rad) * _ap_kern_kern(
+        ny - 1 - y, ap_range, ap_rad
+    )
+    wx = _ap_kern_kern(x, ap_range, ap_rad) * _ap_kern_kern(
+        nx - 1 - x, ap_range, ap_rad
+    )
+    return wy[:, None] * wx[None, :]
+
+
+def _zero_pad_offsets(dim, target_dim):
+    twice = target_dim - dim
+    before = twice // 2
+    return before
+
+
+def _pad_and_fft(im, cen, target_dim, ap_rad):
+    """apodize, symmetric zero pad and FFT
+    (ref: prepsfmom.py:537-552). Returns (kim, padded cen)."""
+    dim = im.shape[-1]
+    if ap_rad > 0:
+        im = im * apodization_mask(im.shape[-2:], ap_rad)
+    before = _zero_pad_offsets(dim, target_dim)
+    pad = [(0, 0)] * (im.ndim - 2) + [
+        (before, target_dim - dim - before),
+        (before, target_dim - dim - before),
+    ]
+    pim = jnp.pad(im, pad)
+    return jnp.fft.fft2(pim), cen + before
+
+
+def _cen_phase(dim, cen_row, cen_col, dtype=None):
+    """exp(i 2 pi f . cen) (ref: prepsfmom.py:497-507)"""
+    f = 2 * jnp.pi * jnp.fft.fftfreq(dim).astype(dtype or jnp.result_type(float))
+    kcen = f[:, None] * cen_row + f[None, :] * cen_col
+    return jnp.exp(1j * kcen)
+
+
+def _pixel_fft(dim, dtype=None):
+    """k-response of the pixel (ref: prepsfmom.py:554-562)"""
+    f = jnp.sinc(jnp.fft.fftfreq(dim).astype(dtype or jnp.result_type(float)))
+    return (f[:, None] * f[None, :]).astype(jnp.complex128 if (
+        dtype in (None, jnp.float64)) else jnp.complex64)
+
+
+def _deconvolve(kim, kpsf, min_psf_frac=1e-5):
+    """deconvolve with a |P| floor (ref: prepsfmom.py:584-601)"""
+    max_amp = jnp.abs(kpsf[..., 0, 0])[..., None, None]
+    min_amp = min_psf_frac * max_amp
+    amp = jnp.abs(kpsf)
+    kpsf_fl = jnp.where(
+        (amp <= min_amp) & (amp != 0),
+        kpsf / jnp.where(amp == 0, 1.0, amp) * min_amp,
+        kpsf,
+    )
+    kpsf_fl = jnp.where(amp == 0, min_amp + 0j, kpsf_fl)
+    return kim / kpsf_fl, kpsf_fl
+
+
+def _sky_freqs(dim, jac_tuple, dtype=None):
+    """(fv, fu) sky-frame angular frequencies and |det Atinv|"""
+    dvdrow, dvdcol, dudrow, dudcol = jac_tuple
+    f = 2 * jnp.pi * jnp.fft.fftfreq(dim).astype(dtype or jnp.result_type(float))
+    fy = f[:, None]
+    fx = f[None, :]
+    At = np.array([[dvdrow, dvdcol], [dudrow, dudcol]], dtype=float)
+    Atinv = np.linalg.inv(At).T
+    fv = Atinv[0, 0] * fy + Atinv[0, 1] * fx
+    fu = Atinv[1, 0] * fy + Atinv[1, 1] * fx
+    detAtinv = abs(np.linalg.det(Atinv))
+    return fv, fu, detAtinv
+
+
+def ksigma_kernels(dim, fwhm, jac_tuple, fwhm_smooth=0.0, dtype=None):
+    """Bernstein et al. ksigma k-space kernels
+    (ref: prepsfmom.py:650-760). Full-grid arrays with the support mask
+    folded in; returns dict fkf/fkr/fkp/fkc/msk/nrm/fk00."""
+    fv, fu, detAtinv = _sky_freqs(dim, jac_tuple, dtype)
+    n = 4
+    sigma = float(fwhm_to_sigma(fwhm))
+    kmax2 = 2 * n / sigma**2
+    fu2 = fu * fu
+    fv2 = fv * fv
+    fmag2 = fu2 + fv2
+    msk = fmag2 < kmax2
+    fm = msk.astype(fv.dtype)
+
+    karg = jnp.clip(1.0 - fmag2 / kmax2, 0.0, None)
+    karg2 = karg * karg
+    karg3 = karg2 * karg
+    karg4 = karg3 * karg
+
+    max_real_val = n / (sigma**2 * 10 * np.pi)
+    knrm = detAtinv / max_real_val
+
+    fkf = karg4 * knrm * fm
+    nrm = jnp.sum(fkf) / dim / dim
+
+    two_knrm_dWdk2 = (-knrm * 8.0 / kmax2) * karg3 * fm
+    four_knrm_dW2dk22 = (knrm * 48 / kmax2**2) * karg2 * fm
+
+    if fwhm_smooth > 0:
+        sm = _smooth_profile(fwhm_smooth, fmag2)
+        fkf = fkf * sm
+        two_knrm_dWdk2 = two_knrm_dWdk2 * sm
+        four_knrm_dW2dk22 = four_knrm_dW2dk22 * sm
+
+    fkr = -2 * two_knrm_dWdk2 - fmag2 * four_knrm_dW2dk22
+    fkp = -(fu2 - fv2) * four_knrm_dW2dk22
+    fkc = -2 * fu * fv * four_knrm_dW2dk22
+
+    return dict(fkf=fkf, fkr=fkr, fkp=fkp, fkc=fkc, msk=msk, nrm=nrm,
+                fk00=knrm)
+
+
+def gauss_kernels(dim, fwhm, jac_tuple, fwhm_smooth=0.0, dtype=None):
+    """gaussian k-space kernels (ref: prepsfmom.py:803-900)"""
+    fv, fu, detAtinv = _sky_freqs(dim, jac_tuple, dtype)
+    sigma = float(fwhm_to_sigma(fwhm))
+    sigma2 = sigma * sigma
+    fu2 = fu * fu
+    fv2 = fv * fv
+    fmag2 = fu2 + fv2
+    exp_fac = sigma2 / 2
+    chi2_2 = exp_fac * fmag2
+    msk = (chi2_2 < FASTEXP_MAX_CHI2 / 2) & (chi2_2 >= 0)
+    fm = msk.astype(fv.dtype)
+    exp_val = jnp.exp(-jnp.clip(chi2_2, 0.0, FASTEXP_MAX_CHI2)) * fm
+
+    knrm = detAtinv * np.pi * 2 * sigma2
+    fkf = exp_val * knrm
+    nrm = jnp.sum(fkf) / dim / dim
+
+    if fwhm_smooth > 0:
+        fkf = fkf * _smooth_profile(fwhm_smooth, fmag2)
+
+    fkfac = 2 * exp_fac
+    fkfac2 = 4 * exp_fac**2
+    fkr = (2 * fkfac - fkfac2 * fmag2) * fkf
+    fkp = fkfac2 * (fv2 - fu2) * fkf
+    fkc = -2 * fkfac2 * fu * fv * fkf
+
+    return dict(fkf=fkf, fkr=fkr, fkp=fkp, fkc=fkc, msk=msk, nrm=nrm,
+                fk00=knrm)
+
+
+def _smooth_profile(fwhm_smooth, fmag2):
+    sigma_smooth = float(fwhm_to_sigma(fwhm_smooth))
+    chi2_2 = sigma_smooth**2 / 2 * fmag2
+    ok = (chi2_2 < FASTEXP_MAX_CHI2 / 2) & (chi2_2 >= 0)
+    return jnp.where(ok, jnp.exp(-jnp.clip(chi2_2, 0, FASTEXP_MAX_CHI2)), 0.0)
+
+
+def measure_moments_fft(kim, kpsf, pnoise_white, kernels, drow, dcol,
+                        knoise=None):
+    """masked k-space dot products + 6x6 noise covariance
+    (ref: prepsfmom.py:337-421). pnoise_white is the scalar per-mode
+    white power; pass knoise (FFT of the noise image) to use measured
+    per-mode power instead."""
+    dim = kim.shape[-1]
+    fm = kernels["msk"].astype(kim.real.dtype)
+
+    kim_d, kpsf_fl = _deconvolve(kim, kpsf)
+    phase = _cen_phase(dim, drow, dcol, dtype=kim.real.dtype)
+    kim_d = kim_d * phase
+
+    df = 1.0 / dim
+    df2 = df * df
+    df4 = df2 * df2
+
+    fkf = kernels["fkf"]
+    fkr = kernels["fkr"]
+    fkp = kernels["fkp"]
+    fkc = kernels["fkc"]
+
+    mf = jnp.sum((kim_d * fkf).real * fm, axis=(-2, -1)) * df2
+    mr = jnp.sum((kim_d * fkr).real * fm, axis=(-2, -1)) * df2
+    mp = jnp.sum((kim_d * fkp).real * fm, axis=(-2, -1)) * df2
+    mc = jnp.sum((kim_d * fkc).real * fm, axis=(-2, -1)) * df2
+
+    if knoise is not None:
+        pnoise = jnp.abs(knoise) ** 2
+    else:
+        pnoise = pnoise_white
+
+    ipsf = 1.0 / kpsf_fl
+    kerns = [fkp * ipsf, fkc * ipsf, fkr * ipsf, fkf * ipsf]
+
+    cov = jnp.zeros(kim.shape[:-2] + (6, 6), dtype=kim.real.dtype)
+    cov = cov.at[..., 0, 0].set(1.0)
+    cov = cov.at[..., 1, 1].set(1.0)
+    for i in range(2, 6):
+        for j in range(i, 6):
+            val = jnp.sum(
+                (kerns[i - 2] * jnp.conj(kerns[j - 2])).real * pnoise * fm,
+                axis=(-2, -1),
+            ) * df4
+            cov = cov.at[..., i, j].set(val)
+            cov = cov.at[..., j, i].set(val)
+
+    nan = jnp.full_like(mf, jnp.nan)
+    mom = jnp.stack([nan, nan, mp, mc, mr, mf], axis=-1)
+    return mom, cov, kernels["fk00"]
+
+
+@partial(jax.jit, static_argnames=(
+    "target_dim", "ap_rad", "kernel", "jac_tuple", "fwhm", "fwhm_smooth",
+    "has_psf", "use_noise",
+))
+def prepsfmom_core(image, cen, psf_image, psf_cen, tot_var, noise_image,
+                   target_dim, ap_rad, kernel, jac_tuple, fwhm,
+                   fwhm_smooth, has_psf, use_noise):
+    """jitted single-stamp pre-psf moments -> (mom, cov, norm, nrm)"""
+    dim = image.shape[-1]
+    eff_pad_factor = target_dim / dim
+
+    kim, pcen = _pad_and_fft(image, cen, target_dim, ap_rad)
+    if has_psf:
+        kpsf, ppcen = _pad_and_fft(psf_image, psf_cen, target_dim, 0.0)
+    else:
+        kpsf = _pixel_fft(target_dim, dtype=image.dtype)
+        ppcen = jnp.zeros(2, image.dtype)
+
+    if kernel == "ksigma":
+        kernels = ksigma_kernels(
+            target_dim, fwhm, jac_tuple, fwhm_smooth, dtype=image.dtype
+        )
+    else:
+        kernels = gauss_kernels(
+            target_dim, fwhm, jac_tuple, fwhm_smooth, dtype=image.dtype
+        )
+
+    if use_noise:
+        knoise, _ = _pad_and_fft(noise_image, cen, target_dim, 0.0)
+        knoise = knoise * eff_pad_factor
+        pnoise_white = None
+    else:
+        knoise = None
+        pnoise_white = tot_var * eff_pad_factor**2
+
+    mom, cov, norm = measure_moments_fft(
+        kim, kpsf, pnoise_white, kernels,
+        pcen[0] - ppcen[0], pcen[1] - ppcen[1], knoise=knoise,
+    )
+    return mom, cov, norm, kernels["nrm"]
+
+
+class PrePSFMom(object):
+    """pre-psf weighted moments (API parity: ngmix/prepsfmom.py:43-247)"""
+
+    def __init__(self, fwhm, kernel, pad_factor=4, ap_rad=1.5,
+                 fwhm_smooth=0, use_noise_image=False):
+        self.fwhm = fwhm
+        self.pad_factor = pad_factor
+        self.kernel = kernel
+        self.ap_rad = ap_rad
+        self.fwhm_smooth = fwhm_smooth
+        self.use_noise_image = use_noise_image
+        if self.kernel == "ksigma":
+            self.kind = "ksigma"
+        elif self.kernel in ["gauss", "pgauss"]:
+            self.kind = "pgauss"
+        else:
+            raise ValueError(
+                "The kernel '%s' for PrePSFMom is not recognized!"
+                % self.kernel
+            )
+
+    def go(self, obs, return_kernels=False, no_psf=False):
+        psf_obs = _check_obs_and_get_psf_obs(obs, no_psf)
+
+        if psf_obs is not None and (
+            psf_obs.image.shape[0] > obs.image.shape[0]
+        ):
+            target_dim = int(psf_obs.image.shape[0] * self.pad_factor)
+        else:
+            target_dim = int(obs.image.shape[0] * self.pad_factor)
+
+        jac = obs.jacobian
+        jac_tuple = (jac.dvdrow, jac.dvdcol, jac.dudrow, jac.dudcol)
+
+        msk = obs.weight > 0
+        tot_var = float(np.sum(1.0 / obs.weight[msk]))
+
+        if self.use_noise_image:
+            if not obs.has_noise():
+                raise ValueError(
+                    "obs.noise must be set when use_noise_image=True"
+                )
+            noise_image = jnp.asarray(obs.noise)
+        else:
+            noise_image = jnp.zeros_like(jnp.asarray(obs.image))
+
+        if psf_obs is not None:
+            psf_image = jnp.asarray(psf_obs.image)
+            psf_cen = jnp.asarray(psf_obs.jacobian.get_cen())
+        else:
+            psf_image = jnp.zeros((1, 1))
+            psf_cen = jnp.zeros(2)
+
+        mom, cov, norm, nrm = prepsfmom_core(
+            jnp.asarray(obs.image),
+            jnp.asarray(jac.get_cen()),
+            psf_image,
+            psf_cen,
+            tot_var,
+            noise_image,
+            int(target_dim),
+            float(self.ap_rad),
+            self.kind if self.kind == "ksigma" else "gauss",
+            jac_tuple,
+            float(self.fwhm),
+            float(self.fwhm_smooth),
+            psf_obs is not None,
+            bool(self.use_noise_image),
+        )
+
+        if not np.allclose(float(nrm), 1.0, atol=1e-5, rtol=0):
+            raise FFTRangeError(
+                "FFT size appears to be too small for %s kernel size %f: "
+                "norm = %f (should be 1)!" % (self.kind, self.fwhm, float(nrm))
+            )
+
+        res = make_mom_result(mom, cov, sums_norm=norm)
+        res = result_to_host(res)
+        if res["flags"] != 0:
+            logger.debug("pre-psf moments failed: %s" % res["flagstr"])
+        return res
+
+
+class KSigmaMom(PrePSFMom):
+    """ksigma pre-psf moments (Bernstein et al., arXiv:1508.05655)"""
+
+    def __init__(self, fwhm, pad_factor=4, ap_rad=1.5, fwhm_smooth=0,
+                 use_noise_image=False):
+        super().__init__(
+            fwhm, "ksigma", pad_factor=pad_factor, ap_rad=ap_rad,
+            fwhm_smooth=fwhm_smooth, use_noise_image=use_noise_image,
+        )
+
+
+class PGaussMom(PrePSFMom):
+    """gaussian-kernel pre-psf moments"""
+
+    def __init__(self, fwhm, pad_factor=4, ap_rad=1.5, fwhm_smooth=0,
+                 use_noise_image=False):
+        super().__init__(
+            fwhm, "pgauss", pad_factor=pad_factor, ap_rad=ap_rad,
+            fwhm_smooth=fwhm_smooth, use_noise_image=use_noise_image,
+        )
+
+
+# API alias (ref: prepsfmom.py:333-334)
+PrePSFGaussMom = PGaussMom
+
+
+def _check_obs_and_get_psf_obs(obs, no_psf):
+    """(ref: prepsfmom.py:901-923)"""
+    if not isinstance(obs, Observation):
+        raise ValueError("input obs must be an Observation")
+
+    shape = obs.image.shape
+    if shape[0] != shape[1]:
+        raise ValueError(
+            "pre-psf moments require a square image, got %s" % (shape,)
+        )
+
+    if not obs.has_psf() and not no_psf:
+        raise RuntimeError("The PSF must be set to measure a pre-PSF moment!")
+
+    if not no_psf:
+        psf_obs = obs.get_psf()
+        j1 = obs.jacobian
+        j2 = psf_obs.jacobian
+        same = all(
+            np.isclose(getattr(j1, a), getattr(j2, a))
+            for a in ("dvdrow", "dvdcol", "dudrow", "dudcol")
+        )
+        if not same:
+            raise RuntimeError(
+                "The PSF and observation must have the same WCS "
+                "Jacobian for measuring pre-PSF moments."
+            )
+    else:
+        psf_obs = None
+
+    return psf_obs

@@ -1,0 +1,138 @@
+import numpy as np
+import pytest
+
+from ngmix_tpu import DiagonalJacobian, GMixModel, KSigmaMom, Observation, PGaussMom
+from ngmix_tpu.gexceptions import FFTRangeError
+
+SCALE = 0.263
+
+
+def _make_obs(rng, T=0.9, g1=0.05, g2=-0.03, flux=100.0, noise=0.0,
+              Tpsf=0.3, dims=(49, 49), psf_dims=(33, 33)):
+    gal = GMixModel([0.0, 0.0, g1, g2, T, flux], "gauss")
+    psf = GMixModel([0.0, 0.0, 0.015, -0.007, Tpsf, 1.0], "gauss")
+    cen = (np.array(dims) - 1.0) / 2.0
+    pcen = (np.array(psf_dims) - 1.0) / 2.0
+    jac = DiagonalJacobian(row=cen[0], col=cen[1], scale=SCALE)
+    pjac = DiagonalJacobian(row=pcen[0], col=pcen[1], scale=SCALE)
+    img = gal.convolve(psf).make_image(dims, jacobian=jac, fast_exp=False)
+    if noise > 0:
+        img = img + rng.normal(size=dims, scale=noise)
+        wt = np.full(dims, 1 / noise**2)
+    else:
+        wt = np.full(dims, 1e10)
+    pimg = psf.make_image(psf_dims, jacobian=pjac, fast_exp=False)
+    obs = Observation(
+        img, weight=wt, jacobian=jac, psf=Observation(pimg, jacobian=pjac)
+    )
+    return obs, gal
+
+
+@pytest.mark.parametrize("cls", [PGaussMom, KSigmaMom])
+def test_prepsfmom_recovery(cls):
+    """pre-psf moments recover the pre-seeing shape and flux of a
+    gaussian through the psf"""
+    rng = np.random.RandomState(42)
+    T, g1, g2, flux = 0.9, 0.05, -0.03, 100.0
+    obs, gal = _make_obs(rng, T=T, g1=g1, g2=g2, flux=flux)
+
+    fitter = cls(fwhm=2.0)
+    res = fitter.go(obs)
+    assert res["flags"] == 0
+
+    # oracle: moments of the pre-psf gaussian with the round weight.
+    # for the gaussian kernel the weighted e is diluted by the weight,
+    # e_meas = e_true * T_w_eff... instead check against the analytic
+    # product-gaussian second moments (same math as gaussmom but pre-psf)
+    from ngmix_tpu import moments as m
+    from ngmix_tpu import shape as s
+
+    if cls is PGaussMom:
+        e1t, e2t = (float(x) for x in s.g1g2_to_e1e2(g1, g2))
+        irr, irc, icc = (float(x) for x in m.e2mom(e1t, e2t, T))
+        S_o = np.array([[irr, irc], [irc, icc]])
+        T_w = float(m.fwhm_to_T(2.0))
+        S_w = np.eye(2) * (T_w / 2)
+        S = np.linalg.inv(np.linalg.inv(S_o) + np.linalg.inv(S_w))
+        Tm = S[0, 0] + S[1, 1]
+        e1m = (S[1, 1] - S[0, 0]) / Tm
+        e2m = 2 * S[0, 1] / Tm
+        assert np.allclose(float(res["e1"]), e1m, atol=3e-4)
+        assert np.allclose(float(res["e2"]), e2m, atol=3e-4)
+        assert np.allclose(float(res["T"]), Tm, rtol=2e-3)
+        # pgauss flux = gaussian-weighted pre-psf flux
+        flux_pred = flux * T_w / (T_w + T)
+        assert np.allclose(float(res["flux"]), flux_pred, rtol=2e-3)
+    else:
+        # ksigma kernel: just check the shear direction and flux scale
+        assert res["flux"] > 0.5 * flux
+        assert np.sign(res["e1"]) == np.sign(g1)
+        assert np.sign(res["e2"]) == np.sign(g2)
+
+
+def test_prepsfmom_noise_errors():
+    """reported errors track empirical scatter"""
+    rng = np.random.RandomState(43)
+    noise = 0.5
+    fluxes, flux_errs = [], []
+    fitter = PGaussMom(fwhm=2.0)
+    for _ in range(100):
+        obs, _ = _make_obs(rng, noise=noise)
+        res = fitter.go(obs)
+        if res["flags"] != 0:
+            continue
+        fluxes.append(float(res["flux"]))
+        flux_errs.append(float(res["flux_err"]))
+    assert len(fluxes) > 90
+    assert np.allclose(np.std(fluxes), np.mean(flux_errs), rtol=0.25)
+
+
+def test_prepsfmom_use_noise_image():
+    rng = np.random.RandomState(44)
+    noise = 0.5
+    obs, _ = _make_obs(rng, noise=noise)
+    obs.set_noise(rng.normal(size=obs.image.shape, scale=noise))
+    res_w = PGaussMom(fwhm=2.0).go(obs)
+    res_n = PGaussMom(fwhm=2.0, use_noise_image=True).go(obs)
+    # white-noise and measured-noise errors agree for white noise
+    assert np.allclose(
+        float(res_w["flux_err"]), float(res_n["flux_err"]), rtol=0.15
+    )
+
+
+def test_prepsfmom_no_psf():
+    rng = np.random.RandomState(45)
+    obs, _ = _make_obs(rng)
+    obs.set_psf(None)
+    res = PGaussMom(fwhm=2.0).go(obs, no_psf=True)
+    assert res["flags"] == 0
+    with pytest.raises(RuntimeError):
+        PGaussMom(fwhm=2.0).go(obs)
+
+
+def test_prepsfmom_fft_range_error():
+    rng = np.random.RandomState(46)
+    obs, _ = _make_obs(rng)
+    # tiny kernel: support does not fit the FFT grid
+    with pytest.raises(FFTRangeError):
+        KSigmaMom(fwhm=0.05).go(obs)
+
+
+def test_prepsfmom_nonsquare_raises():
+    rng = np.random.RandomState(47)
+    obs, _ = _make_obs(rng)
+    img = np.zeros((48, 50))
+    with pytest.raises(ValueError):
+        PGaussMom(fwhm=2.0).go(
+            Observation(img, jacobian=DiagonalJacobian(row=24, col=25, scale=SCALE))
+        )
+
+
+def test_prepsfmom_fwhm_smooth():
+    rng = np.random.RandomState(48)
+    obs, _ = _make_obs(rng, noise=0.1)
+    res0 = PGaussMom(fwhm=2.0).go(obs)
+    res1 = PGaussMom(fwhm=2.0, fwhm_smooth=0.8).go(obs)
+    assert res1["flags"] == 0
+    # smoothing changes the moments
+    assert not np.allclose(float(res0["T"]), float(res1["T"]))
