@@ -44,6 +44,7 @@ from .gmix import (  # noqa: F401
     GMixModel,
     make_gmix_model,
 )
+from .gmix.gmix_lists import GMixList, MultiBandGMixList  # noqa: F401
 from . import gaussap  # noqa: F401
 from . import priors  # noqa: F401
 from . import joint_prior  # noqa: F401
@@ -62,6 +63,12 @@ from . import bootstrap  # noqa: F401
 from .bootstrap import Bootstrapper  # noqa: F401
 from .runners import PSFRunner, Runner  # noqa: F401
 from . import metacal  # noqa: F401
+from . import gmix_ndim  # noqa: F401
+from .gmix_ndim import GMixND  # noqa: F401
+from . import fastexp  # noqa: F401
+from . import medsreaders  # noqa: F401
+from . import batch  # noqa: F401
+from . import parallel  # noqa: F401
 from . import simobs  # noqa: F401
 from .metacal import MetacalBootstrapper  # noqa: F401
 from .admom import AdmomFitter, find_cen_admom, run_admom  # noqa: F401
