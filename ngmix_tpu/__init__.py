@@ -67,6 +67,14 @@ from . import gmix_ndim  # noqa: F401
 from .gmix_ndim import GMixND  # noqa: F401
 from . import fastexp  # noqa: F401
 from . import medsreaders  # noqa: F401
+from . import kobs  # noqa: F401
+from .kobs import (  # noqa: F401
+    KMultiBandObsList,
+    KObservation,
+    KObsList,
+    get_kmb_obs,
+    make_kobs,
+)
 from . import batch  # noqa: F401
 from . import parallel  # noqa: F401
 from . import simobs  # noqa: F401

@@ -11,3 +11,12 @@ from .fit_model import (  # noqa: F401
 )
 from .fitters import CoellipFitter, Fitter, PSFFluxFitter  # noqa: F401
 from .lm import LMConf, run_lm, run_lm_batch, run_lm_jit  # noqa: F401
+from .kspace_fitters import (  # noqa: F401
+    GalsimFitter,
+    GalsimMoffatFitter,
+    GalsimPSFFluxFitter,
+    GalsimSpergelFitter,
+    KSpaceFitter,
+    KSpaceFitModel,
+)
+from . import noise_cov  # noqa: F401

@@ -1,0 +1,231 @@
+"""k-space observation containers, galsim-free.
+
+Behavior parity with ngmix/observation.py:1147-1606 (KObservation,
+KObsList, KMultiBandObsList, make_kobs, get_kmb_obs), with the galsim
+Image/InterpolatedImage machinery replaced by centered FFTs of the
+stamps: the DFT of a compact stamp IS its continuous transform on the
+grid (trig-poly identity), so no interpolant is involved and the
+interpolant response cancels nowhere because it never enters.
+
+kimages are stored as plain complex numpy arrays in fftshift layout
+(k = 0 at the canonical center, matching the reference's galsim
+drawKImage bounds) with the grid spacing in the ``scale`` attribute.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from .jacobian import DiagonalJacobian
+from .metacal import kops
+from .observation import (
+    MetadataMixin,
+    MultiBandObsList,
+    Observation,
+    ObsList,
+    get_mb_obs,
+)
+
+__all__ = [
+    "KObservation",
+    "KObsList",
+    "KMultiBandObsList",
+    "make_kobs",
+    "get_kmb_obs",
+]
+
+DEFAULT_XINTERP = "lanczos15"  # kept for API parity; unused (exact FFTs)
+
+
+class KObservation(MetadataMixin):
+    """a k-space observation: complex kimage + weight + optional psf"""
+
+    def __init__(self, kimage, weight=None, psf=None, meta=None, scale=1.0):
+        self._set_image(kimage, scale)
+        self._set_weight(weight)
+        self.set_psf(psf)
+        self._set_jacobian()
+        self.set_meta(meta)
+
+    def _set_image(self, kimage, scale):
+        kimage = np.asarray(kimage)
+        if not np.iscomplexobj(kimage):
+            raise ValueError("kimage must be complex")
+        self.kimage = kimage
+        self.scale = float(scale)
+
+    def _set_weight(self, weight):
+        if weight is None:
+            weight = np.ones(self.kimage.shape)
+        else:
+            weight = np.asarray(weight)
+            if weight.shape != self.kimage.shape:
+                raise ValueError(
+                    "weight kimage must have same shape as kimage"
+                )
+        self.weight = weight
+
+    @property
+    def psf(self):
+        return self._psf
+
+    def has_psf(self):
+        return hasattr(self, "_psf")
+
+    def set_psf(self, psf):
+        if self.has_psf():
+            del self._psf
+        if psf is None:
+            return
+        assert isinstance(psf, KObservation)
+        self._psf = psf
+        if psf.kimage.shape != self.kimage.shape:
+            raise ValueError("psf kimage must have same shape as kimage")
+        assert np.allclose(psf.scale, self.scale)
+
+    def _set_jacobian(self):
+        """k = 0 sits at the canonical center
+        (ref: observation.py:1251-1272)"""
+        dims = self.kimage.shape
+        cen = np.zeros(2)
+        for i in range(2):
+            if dims[i] % 2 == 0:
+                cen[i] = (dims[i] - 1.0) / 2.0 + 0.5
+            else:
+                cen[i] = (dims[i] - 1.0) / 2.0
+        self.jacobian = DiagonalJacobian(
+            scale=self.scale, row=cen[0], col=cen[1]
+        )
+
+
+class KObsList(list, MetadataMixin):
+    """list of KObservations"""
+
+    def __init__(self, meta=None):
+        super().__init__()
+        self.set_meta(meta)
+
+    def append(self, kobs):
+        assert isinstance(kobs, KObservation), (
+            "kobs should be of type KObservation, got %s" % type(kobs)
+        )
+        super().append(kobs)
+
+    def __setitem__(self, index, kobs):
+        assert isinstance(kobs, KObservation), (
+            "kobs should be of type KObservation"
+        )
+        super().__setitem__(index, kobs)
+
+
+class KMultiBandObsList(list, MetadataMixin):
+    """list of KObsLists, one per band"""
+
+    def __init__(self, meta=None):
+        super().__init__()
+        self.set_meta(meta)
+
+    def append(self, kobs_list):
+        assert isinstance(kobs_list, KObsList), (
+            "kobs_list should be of type KObsList"
+        )
+        super().append(kobs_list)
+
+    def __setitem__(self, index, kobs_list):
+        assert isinstance(kobs_list, KObsList), (
+            "kobs_list should be of type KObsList"
+        )
+        super().__setitem__(index, kobs_list)
+
+
+def _kimage_of_obs(image, cen, dim, scale):
+    """centered FFT of the stamp, fftshifted, with k in sky units.
+
+    The phases are referenced to the jacobian center so the profile is
+    centered at the origin; dk = 2 pi / (dim * scale).
+    """
+    khat = kops.centered_fft(
+        jnp.asarray(image, dtype=jnp.float64) + 0j, jnp.asarray(cen), dim
+    )
+    return np.fft.fftshift(np.asarray(khat))
+
+
+def make_kobs(mb_obs, interp=DEFAULT_XINTERP, pad_factor=4):
+    """real-space observation(s) -> KMultiBandObsList with a common
+    dim and dk (ref: observation.py:1493-1574)"""
+    del interp
+    mb_obs = get_mb_obs(mb_obs)
+
+    # common (odd) dimension over all bands/epochs
+    maxdim = 0
+    for obslist in mb_obs:
+        for obs in obslist:
+            maxdim = max(maxdim, max(obs.image.shape))
+            if obs.has_psf():
+                maxdim = max(maxdim, max(obs.psf.image.shape))
+    dim = kops.good_fft_size(pad_factor * maxdim) + 1  # odd, like galsim
+
+    mb_kobs = KMultiBandObsList()
+    for obslist in mb_obs:
+        kobs_list = KObsList()
+        for obs in obslist:
+            scale = obs.jacobian.scale
+            dk = 2 * np.pi / (dim * scale)
+            kimage = _kimage_of_obs(
+                obs.image, obs.jacobian.get_cen(), dim, scale
+            )
+
+            useweight = obs.weight.max()
+            weight = np.full(kimage.shape, 0.5 * useweight)
+            # parseval's theorem
+            weight *= 1.0 / weight.size
+
+            if obs.has_psf():
+                pimage = obs.psf.image / obs.psf.image.sum()
+                psf_kimage = _kimage_of_obs(
+                    pimage, obs.psf.jacobian.get_cen(), dim,
+                    obs.psf.jacobian.scale,
+                )
+                psf_useweight = obs.psf.weight.max()
+                psf_weight = np.full(kimage.shape, 0.5 * psf_useweight)
+                psf_weight *= 1.0 / psf_weight.size
+                psf_kobs = KObservation(
+                    psf_kimage, weight=psf_weight, meta=dict(obs.psf.meta),
+                    scale=dk,
+                )
+            else:
+                psf_kobs = None
+
+            meta = dict(obs.meta)
+            meta["scale"] = scale
+            kobs_list.append(
+                KObservation(
+                    kimage, weight=weight, psf=psf_kobs, meta=meta, scale=dk
+                )
+            )
+        mb_kobs.append(kobs_list)
+    return mb_kobs
+
+
+def get_kmb_obs(obs_in):
+    """promote K observations to KMultiBandObsList
+    (ref: observation.py:1576-1606)"""
+    if isinstance(obs_in, KObservation):
+        kobs_list = KObsList()
+        kobs_list.append(obs_in)
+        obs = KMultiBandObsList()
+        obs.append(kobs_list)
+    elif isinstance(obs_in, KObsList):
+        obs = KMultiBandObsList()
+        obs.append(obs_in)
+    elif isinstance(obs_in, KMultiBandObsList):
+        obs = obs_in
+    else:
+        raise ValueError(
+            "obs should be KObservation, KObsList, or KMultiBandObsList"
+        )
+    return obs
+
+
+# re-export into the observation namespace for API parity
+Observation  # noqa: B018
+ObsList  # noqa: B018
+MultiBandObsList  # noqa: B018
