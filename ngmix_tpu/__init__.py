@@ -75,6 +75,9 @@ from .kobs import (  # noqa: F401
     get_kmb_obs,
     make_kobs,
 )
+from . import ops  # noqa: F401
+from . import profiling  # noqa: F401
+from . import checkpoint  # noqa: F401
 from . import batch  # noqa: F401
 from . import parallel  # noqa: F401
 from . import simobs  # noqa: F401

@@ -30,17 +30,20 @@ def make_weight_gmix(fwhm, dtype=None):
     )
 
 
-def gaussmom_measure(pixels, fwhm, area, with_higher_order=False):
+def gaussmom_measure(pixels, fwhm, area, with_higher_order=False,
+                     use_pallas=True):
     """device path: weighted sums + normalization for one (or a batch
     of) pixel structs. area is the jacobian pixel area (scalar or
-    batched)."""
+    batched). The weight evaluation uses the Pallas kernel on TPU for
+    explicitly batched [B, npix] inputs."""
     wt = make_weight_gmix(fwhm, dtype=pixels.val.dtype)
     if pixels.val.ndim > 1:
         wt = jnp.broadcast_to(wt, pixels.val.shape[:-1] + wt.shape)
     T = moments.fwhm_to_T(fwhm)
     maxrad = 100.0 * np.sqrt(T / 2.0)
     sums = gcore.get_weighted_sums(
-        wt, pixels, maxrad, higher_order=with_higher_order
+        wt, pixels, maxrad, higher_order=with_higher_order,
+        use_pallas=use_pallas,
     )
     return _normalize_sums(sums, area)
 

@@ -111,3 +111,54 @@ def test_noise_cov():
     obs2.set_noise(None)
     with pytest.raises(ValueError):
         Fitter(model="gauss", use_noise_image=True).go(obs2, guess)
+
+
+def test_pallas_eval_interpret():
+    """the Pallas gmix-eval kernel matches the jnp implementation
+    (interpret mode so it runs on the CPU test backend)"""
+    import jax.numpy as jnp
+
+    from ngmix_tpu.gmix import core as gcore
+    from ngmix_tpu.ops.pallas_gmix import eval_gmix_pallas
+
+    rng = np.random.RandomState(5)
+    B, P = 3, 200
+    pars = jnp.asarray(np.tile([0.0, 0.0, 0.05, -0.02, 2.0, 100.0], (B, 1)))
+    gmix, _ = __import__("ngmix_tpu").gmix.core.fill_exp(pars)
+    v = jnp.asarray(rng.uniform(-3, 3, (B, P)))
+    u = jnp.asarray(rng.uniform(-3, 3, (B, P)))
+    for fast in (True, False):
+        ref = gcore.eval_gmix(gmix, v, u, 0.069, fast=fast)
+        out = eval_gmix_pallas(
+            gmix, v, u, 0.069, fast=fast, interpret=True
+        )
+        assert np.allclose(np.asarray(out), np.asarray(ref), rtol=1e-12)
+
+
+def test_profiling_timed():
+    from ngmix_tpu import profiling
+
+    with profiling.timed("stage_a"):
+        x = sum(range(1000))
+    assert x > 0
+    rep = profiling.report(reset=True)
+    assert "stage_a" in rep
+    assert rep["stage_a"][1] == 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from ngmix_tpu.checkpoint import ResultWriter, load_results
+
+    outdir = str(tmp_path / "ckpt")
+    w = ResultWriter(outdir)
+    assert w.next_index() == 0
+    for i in range(3):
+        w.write(i, {"pars": np.full((4, 6), i, dtype=float),
+                    "nested": {"flags": np.zeros(4, dtype=int)}})
+    # resume sees all three done
+    w2 = ResultWriter(outdir)
+    assert w2.next_index() == 3
+    table = load_results(outdir)
+    assert table["pars"].shape == (12, 6)
+    assert table["nested/flags"].shape == (12,)
+    assert np.all(table["pars"][4:8] == 1)
