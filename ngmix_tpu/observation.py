@@ -567,3 +567,24 @@ def get_mb_obs(obs_in):
             "obs should be Observation, ObsList, or MultiBandObsList"
         )
     return obs
+
+
+# k-space containers live in kobs.py; re-exported here for parity with
+# the reference namespace (ngmix/observation.py:1147-1606). The import
+# sits at module bottom because kobs imports the classes above.
+from .kobs import (  # noqa: E402,F401
+    DEFAULT_XINTERP,
+    KMultiBandObsList,
+    KObservation,
+    KObsList,
+    get_kmb_obs,
+    make_kobs,
+)
+
+__all__ += [
+    "KObservation",
+    "KObsList",
+    "KMultiBandObsList",
+    "make_kobs",
+    "get_kmb_obs",
+]
