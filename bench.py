@@ -92,7 +92,7 @@ def main():
 
     conf = MetacalConfig(
         dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0.0, 0.0, SCALE),
-        fixnoise=True, pad_factor=2,
+        fixnoise=True, pad_factor=2, fit_dims=(25, 25),
     )
     fn = make_metacal_pipeline_fn(conf, measure="exp-lm")
 

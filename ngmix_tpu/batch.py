@@ -35,6 +35,10 @@ class MetacalConfig(NamedTuple):
     fixnoise: bool = True
     psf_mode: str = "gauss"  # 'gauss' | 'azgauss'
     pad_factor: int = 4  # FFT grid = pad_factor * stamp size
+    # optional central crop for the measurement stage: pixels outside
+    # the model support carry zero parameter gradient, so fitting on a
+    # crop is the same objective at a fraction of the evaluation cost
+    fit_dims: tuple = None
 
 
 def _host_jacobian(conf, row0=0.0, col0=0.0):
@@ -171,17 +175,43 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
     sig_d = sigma * dilation
     area = abs(conf.jac[0] * conf.jac[3] - conf.jac[1] * conf.jac[2])
 
+    # stack the metacal types into the batch axis so all types share
+    # one measurement program (for the LM this collapses 5 sequential
+    # while_loops into one, cutting the serial step count 5x)
+    types = list(odict.keys())
+    B = weights.shape[0]
+    ims_all = jnp.concatenate([odict[t] for t in types], axis=0)
+    wt_all = jnp.tile(weights, (len(types), 1, 1))
+    cens_all = jnp.tile(cens, (len(types), 1))
+
+    if conf.fit_dims is not None:
+        fh, fw = conf.fit_dims
+        r0 = (conf.dims[0] - fh) // 2
+        c0 = (conf.dims[1] - fw) // 2
+        ims_all = ims_all[:, r0:r0 + fh, c0:c0 + fw]
+        wt_all = wt_all[:, r0:r0 + fh, c0:c0 + fw]
+        cens_all = cens_all - jnp.asarray([r0, c0], cens_all.dtype)
+        conf_fit = conf._replace(dims=(fh, fw))
+    else:
+        conf_fit = conf
+    pixels = make_pixels_batch(ims_all, wt_all, cens_all, conf_fit)
+
+    if measure == "gaussmom":
+        res_all = gaussmom_measure(pixels, measure_fwhm, area)
+    elif measure == "exp-lm":
+        sig_all = jnp.tile(sig_d, len(types))
+        res_all = _exp_lm_measure(pixels, sig_all, lm_conf or LMConf())
+    else:
+        raise ValueError("bad measure: %s" % measure)
+
     results = {}
-    for t, ims in odict.items():
-        pixels = make_pixels_batch(ims, weights, cens, conf)
-        if measure == "gaussmom":
-            results[t] = gaussmom_measure(pixels, measure_fwhm, area)
-        elif measure == "exp-lm":
-            results[t] = _exp_lm_measure(
-                pixels, sig_d, lm_conf or LMConf()
-            )
-        else:
-            raise ValueError("bad measure: %s" % measure)
+    for i, t in enumerate(types):
+        results[t] = jax.tree.map(
+            lambda x: x[i * B:(i + 1) * B] if (
+                hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == len(types) * B
+            ) else x,
+            res_all,
+        )
     results["psf_sigma"] = sigma
     return results
 
@@ -197,9 +227,12 @@ def _exp_lm_fdiff(pars, data):
     return jnp.where(bad, 1.0e10, rows)
 
 
-def _exp_lm_measure(pixels, psf_sigma, lm_conf):
+def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2):
     """vmapped exp LM fit over the batch; psf is the analytic round
-    target gaussian"""
+    target gaussian. Starting guesses come from a cheap gaussian
+    weighted-moments pass (deweighted size, measured shape and
+    centroid), cutting the LM iteration count roughly in half vs
+    fixed-scale guesses."""
     B = pixels.val.shape[0]
     dtype = pixels.val.dtype
     psf_gmix = jnp.zeros((B, 1, 6), dtype)
@@ -207,15 +240,37 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf):
     psf_gmix = psf_gmix.at[:, 0, 3].set(psf_sigma**2)
     psf_gmix = psf_gmix.at[:, 0, 5].set(psf_sigma**2)
 
-    # moment-based starting guesses
+    # moments-based starting guesses
+    from .moments import fwhm_to_T
+
+    wt = jnp.zeros((B, 1, 6), dtype)
+    Tw = float(fwhm_to_T(guess_fwhm))
+    wt = wt.at[:, 0, 0].set(2 * np.pi * Tw / 2)
+    wt = wt.at[:, 0, 3].set(Tw / 2)
+    wt = wt.at[:, 0, 5].set(Tw / 2)
+    msums = gcore.get_weighted_sums(wt, pixels, maxrad=1.0e9)
+    s = msums["sums"]
+    mf = s[..., 5]
+    mf_safe = jnp.where(mf > 0, mf, 1.0)
+    cen_v = s[..., 0] / mf_safe
+    cen_u = s[..., 1] / mf_safe
+    mt = s[..., 4] / mf_safe
+    e1 = jnp.clip(s[..., 2] / jnp.where(s[..., 4] > 0, s[..., 4], 1.0), -0.5, 0.5)
+    e2 = jnp.clip(s[..., 3] / jnp.where(s[..., 4] > 0, s[..., 4], 1.0), -0.5, 0.5)
+    # deweight the measured size and remove the psf
+    Tmeas = jnp.clip(mt, 0.05, None)
+    Tdew = 1.0 / jnp.clip(1.0 / Tmeas - 1.0 / Tw, 0.05, None)
+    Tpsf = 2 * psf_sigma**2
+    Tguess = jnp.clip(Tdew - Tpsf, 0.05, None)
+
     wsum = jnp.sum(pixels.val * (pixels.ierr > 0), axis=-1)
     guess = jnp.stack(
         [
-            jnp.zeros(B, dtype),
-            jnp.zeros(B, dtype),
-            jnp.zeros(B, dtype),
-            jnp.zeros(B, dtype),
-            jnp.full((B,), 0.5, dtype),
+            cen_v,
+            cen_u,
+            0.5 * e1,
+            0.5 * e2,
+            Tguess,
             wsum,
         ],
         axis=-1,
