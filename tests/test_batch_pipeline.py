@@ -1,0 +1,85 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ngmix_tpu import DiagonalJacobian, GMixModel
+from ngmix_tpu.batch import (
+    MetacalConfig,
+    metacal_pipeline,
+    metacal_pipeline_mb,
+    shear_response,
+)
+
+SCALE = 0.263
+DIMS = (33, 33)
+PSF_DIMS = (25, 25)
+
+
+def _sim_batch(rng, B, shear=(0.02, 0.0), noise=1e-4, psf_g=(0.02, -0.01)):
+    imgs = np.zeros((B,) + DIMS, dtype=np.float64)
+    cens = np.zeros((B, 2))
+    psf = GMixModel([0.0, 0.0, psf_g[0], psf_g[1], 0.27, 1.0], "turb")
+    pjac = DiagonalJacobian(row=12, col=12, scale=SCALE)
+    pim = psf.make_image(PSF_DIMS, jacobian=pjac, fast_exp=False)
+    gal = GMixModel([0.0, 0.0, 0.0, 0.0, 0.5, 100.0], "exp").get_sheared(*shear)
+    conv = gal.convolve(psf)
+    for i in range(B):
+        off = rng.uniform(-0.5, 0.5, 2)
+        jac = DiagonalJacobian(row=16 + off[0], col=16 + off[1], scale=SCALE)
+        imgs[i] = conv.make_image(DIMS, jacobian=jac, fast_exp=False)
+        imgs[i] += rng.normal(size=DIMS) * noise
+        cens[i] = (16 + off[0], 16 + off[1])
+    weights = np.full((B,) + DIMS, 1 / noise**2)
+    noise_f = rng.normal(size=(B,) + DIMS) * noise
+    pimgs = np.tile(pim, (B, 1, 1))
+    pcens = np.full((B, 2), 12.0)
+    return tuple(
+        jnp.asarray(x) for x in (imgs, weights, cens, pimgs, pcens, noise_f)
+    )
+
+
+def test_batch_pipeline_m_bias():
+    """the batched pipeline recovers the shear with |m| < 1e-3 in both
+    measures"""
+    rng = np.random.RandomState(42)
+    args = _sim_batch(rng, 32)
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+    )
+    for measure in ("gaussmom", "exp-lm"):
+        res = metacal_pipeline(*args, conf, measure=measure)
+        sr = shear_response(res)
+        m = float(sr["shear"][0]) / 0.02 - 1
+        assert abs(m) < 1.5e-3, (measure, m)
+        assert abs(float(sr["shear"][1])) < 5e-4
+        assert int(np.sum(np.asarray(res["noshear"]["flags"]) != 0)) == 0
+
+
+def test_batch_pipeline_mb():
+    """multi-band multi-epoch batched metacal fits"""
+    rng = np.random.RandomState(43)
+    B, E, nband = 8, 3, 2
+    band = jnp.asarray([0, 0, 1])
+
+    single = [_sim_batch(rng, B) for _ in range(E)]
+    stack = [jnp.stack([s[i] for s in single], axis=1) for i in range(6)]
+    imgs, weights, cens, pimgs, pcens, noise = stack
+
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2,
+    )
+    res = metacal_pipeline_mb(
+        imgs, weights, cens, pimgs, pcens, noise, band, nband, conf
+    )
+    out = res["noshear"]
+    assert out["pars"].shape == (B, 5 + nband)
+    assert np.all(np.asarray(out["flags"]) == 0)
+    # both band fluxes recover ~100
+    assert np.allclose(np.asarray(out["pars"][:, 5]), 100.0, rtol=0.05)
+    assert np.allclose(np.asarray(out["pars"][:, 6]), 100.0, rtol=0.05)
+    # shear response sane
+    sr = shear_response(res)
+    m = float(sr["shear"][0]) / 0.02 - 1
+    assert abs(m) < 5e-3
