@@ -13,13 +13,11 @@ Key identities exploited:
 - a WCS-distorted pixel is the unit square in pixel coordinates, so its
   k-response is a separable sinc product regardless of the WCS;
 - shearing/dilating a profile is a linear remap k -> M k of its
-  transform; M is within ~|g| of the identity, so the remap is a
-  sub-pixel displacement field evaluated with a normalized Lanczos
-  kernel expressed as a fixed set of lax-rolls (dense VPU work, no
-  gathers).
+  transform, evaluated EXACTLY: the DFT of a compact stamp is a
+  trigonometric polynomial, so the remap decomposes into FFT phase
+  shears plus a chirp-z axis scaling (see remap_k) with no
+  interpolation kernel at all.
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -103,46 +101,6 @@ def kmap_matrix(jac, S):
     )
     Jinv = np.linalg.inv(J)
     return J.T @ S.T @ Jinv.T
-
-
-@partial(jax.jit, static_argnames=("rng_", "a"))
-def _lanczos_remap(khat, dM, rng_, a=3):
-    """evaluate khat at remapped points kappa' = kappa + dM kappa.
-
-    khat: [..., N, N] complex in fft order; dM: [2, 2] (M - I).
-    rng_: static int, the roll radius (must cover a + max displacement).
-    Normalized separable Lanczos-a interpolation over (2 rng_+1)^2
-    fixed rolls.
-    """
-    N = khat.shape[-1]
-    idx = signed_index(N)
-    iy = idx[:, None]
-    ix = idx[None, :]
-    # displacement of the *source* point in index units
-    dy = dM[0, 0] * iy + dM[0, 1] * ix
-    dx = dM[1, 0] * iy + dM[1, 1] * ix
-
-    def lanczos(t):
-        w = jnp.sinc(t) * jnp.sinc(t / a)
-        return jnp.where(jnp.abs(t) < a, w, 0.0)
-
-    out = jnp.zeros_like(khat)
-    wy_sum = jnp.zeros_like(dy)
-    wx_sum = jnp.zeros_like(dx)
-    # precompute axis weight sums for normalization
-    for s in range(-rng_, rng_ + 1):
-        wy_sum = wy_sum + lanczos(dy - s)
-        wx_sum = wx_sum + lanczos(dx - s)
-    norm = wy_sum * wx_sum
-    norm = jnp.where(norm == 0, 1.0, norm)
-
-    for sy in range(-rng_, rng_ + 1):
-        wy = lanczos(dy - sy)
-        rolled_y = jnp.roll(khat, -sy, axis=-2)
-        for sx in range(-rng_, rng_ + 1):
-            w = wy * lanczos(dx - sx)
-            out = out + w * jnp.roll(rolled_y, -sx, axis=-1)
-    return out / norm
 
 
 def _shift_axis(A, s, axis):

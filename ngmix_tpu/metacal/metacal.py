@@ -354,3 +354,17 @@ class MetacalAnalyticPSF(MetacalGaussPSF):
 
     def _get_target_sigma(self):
         return self._analytic_sigma
+
+
+# ----------------------------------------------------------------------
+# cache-toggle API parity shims: the reference exposes module toggles
+# for its lru caches (metacal.py:29-66, prepsfmom.py:20-39). Under jit
+# all compiled programs are cached by XLA, so these are no-ops kept so
+# downstream code (e.g. metadetect conftests) can call them.
+
+def turn_on_galsim_caching():
+    pass
+
+
+def turn_off_galsim_caching():
+    pass

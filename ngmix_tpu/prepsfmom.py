@@ -428,3 +428,20 @@ def _check_obs_and_get_psf_obs(obs, no_psf):
         psf_obs = None
 
     return psf_obs
+
+
+# cache-toggle API parity shims (see note in metacal.metacal); no-ops
+def turn_on_fft_caching():
+    pass
+
+
+def turn_off_fft_caching():
+    pass
+
+
+def turn_on_kernel_caching():
+    pass
+
+
+def turn_off_kernel_caching():
+    pass
