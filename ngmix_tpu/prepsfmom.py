@@ -445,3 +445,30 @@ def turn_on_kernel_caching():
 
 def turn_off_kernel_caching():
     pass
+
+
+def prepsfmom_batch(images, cens, psf_images, psf_cens, tot_var,
+                    target_dim, kernel, jac_tuple, fwhm, ap_rad=1.5,
+                    fwhm_smooth=0.0):
+    """vmapped pre-psf moments over a [B] batch of stamps.
+
+    images [B, H, W]; cens/psf_cens [B, 2]; tot_var [B]. Returns the
+    batched moments result dict (see moments.make_mom_result).
+    """
+    import jax
+
+    from .moments import make_mom_result
+
+    def one(im, cen, pim, pcen, tv):
+        return prepsfmom_core(
+            im, cen, pim, pcen, tv, jnp.zeros_like(im),
+            int(target_dim), float(ap_rad), kernel, jac_tuple,
+            float(fwhm), float(fwhm_smooth), True, False,
+        )
+
+    mom, cov, norm, nrm = jax.vmap(one)(
+        images, cens, psf_images, psf_cens, tot_var
+    )
+    res = make_mom_result(mom, cov, sums_norm=norm)
+    res["kernel_nrm"] = nrm
+    return res

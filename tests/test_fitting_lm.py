@@ -228,3 +228,43 @@ def test_fitter_bad_guess_raises():
     obs.psf.set_gmix(data["psf_gmix"])
     with pytest.raises(GMixRangeError):
         Fitter(model="gauss").go(obs, [0.0, 0.0, 0.9, 0.9, 1.0, 1.0])
+
+
+def test_ad_jacobian_vs_finite_difference():
+    """jacfwd of the fdiff residual matches central differences
+    (the analog of the reference's test_fitting_lm_jacobian)"""
+    import jax
+    import jax.numpy as jnp
+
+    from ngmix_tpu.fitting.fit_model import FitModel
+
+    rng = np.random.RandomState(99)
+    data = get_model_obs(
+        rng=rng, model="exp", T=2.0, g1=0.05, g2=-0.02, flux=100.0,
+        noise=0.01, dims=(33, 33),
+    )
+    obs = data["obs"]
+    obs.psf.set_gmix(data["psf_gmix"])
+    fm = FitModel(obs=obs, model="exp", guess=data["pars"])
+
+    pars = jnp.asarray(data["pars"] * 1.01)
+    jac_ad = np.asarray(jax.jacfwd(fm._fdiff_fn)(pars, fm.data))
+
+    # central differences
+    steps = np.array([1e-6, 1e-6, 1e-7, 1e-7, 1e-6, 1e-5])
+    jac_fd = np.zeros_like(jac_ad)
+    p0 = np.asarray(pars)
+    for i in range(6):
+        pp = p0.copy()
+        pm = p0.copy()
+        pp[i] += steps[i]
+        pm[i] -= steps[i]
+        fp = np.asarray(fm._fdiff_fn(jnp.asarray(pp), fm.data))
+        fmn = np.asarray(fm._fdiff_fn(jnp.asarray(pm), fm.data))
+        jac_fd[:, i] = (fp - fmn) / (2 * steps[i])
+
+    scale = np.abs(jac_ad).max(axis=0)
+    for i in range(6):
+        assert np.allclose(
+            jac_ad[:, i], jac_fd[:, i], atol=3e-5 * scale[i], rtol=1e-4
+        ), "par %d" % i

@@ -136,3 +136,40 @@ def test_prepsfmom_fwhm_smooth():
     assert res1["flags"] == 0
     # smoothing changes the moments
     assert not np.allclose(float(res0["T"]), float(res1["T"]))
+
+
+def test_prepsfmom_batch():
+    """the vmapped batch path matches single measurements"""
+    import jax.numpy as jnp
+
+    from ngmix_tpu.prepsfmom import prepsfmom_batch
+
+    rng = np.random.RandomState(50)
+    obs_list = [
+        _make_obs(rng, T=0.8 + 0.1 * i, noise=0.01)[0] for i in range(3)
+    ]
+    images = jnp.stack([jnp.asarray(o.image) for o in obs_list])
+    cens = jnp.stack(
+        [jnp.asarray(o.jacobian.get_cen()) for o in obs_list]
+    )
+    psf_images = jnp.stack([jnp.asarray(o.psf.image) for o in obs_list])
+    psf_cens = jnp.stack(
+        [jnp.asarray(o.psf.jacobian.get_cen()) for o in obs_list]
+    )
+    tot_var = jnp.asarray(
+        [float(np.sum(1.0 / o.weight[o.weight > 0])) for o in obs_list]
+    )
+    jac = obs_list[0].jacobian
+    res = prepsfmom_batch(
+        images, cens, psf_images, psf_cens, tot_var,
+        target_dim=4 * 49, kernel="gauss",
+        jac_tuple=(jac.dvdrow, jac.dvdcol, jac.dudrow, jac.dudcol),
+        fwhm=2.0,
+    )
+    assert res["T"].shape == (3,)
+    for i, o in enumerate(obs_list):
+        single = PGaussMom(fwhm=2.0).go(o)
+        assert np.allclose(float(res["T"][i]), float(single["T"]), rtol=1e-8)
+        assert np.allclose(
+            float(res["flux"][i]), float(single["flux"]), rtol=1e-8
+        )
