@@ -26,3 +26,4 @@ from .gmix import (  # noqa: F401
     gmix_concat,
     make_gmix_model,
 )
+from .gmix_lists import GMixList, MultiBandGMixList  # noqa: F401
