@@ -58,35 +58,51 @@ def _type_shear(type_, step):
     }[type_]
 
 
-def metacal_image_set(images, cens, psf_images, psf_cens, conf: MetacalConfig):
-    """produce the metacal image set for a batch.
-
-    images [B, H, W]; cens [B, 2]; psf_images [B, Hp, Wp];
-    psf_cens [B, 2]. Returns (dict type -> [B, H, W] images,
-    target_sigma [B] of the *undilated* round target psf).
-    """
+def prepare_psf_kdata(psf_images, psf_cens, conf: MetacalConfig):
+    """psf-side k data shared by the image and fixnoise pipelines:
+    (normalized psfhat, target sigma, pixel response, sky |k|^2)"""
     N = kops.good_fft_size(
         conf.pad_factor * max(max(conf.dims), max(conf.psf_dims))
     )
     jac = _host_jacobian(conf)
-
-    imhat = _batched_centered_fft(images, cens, N)
     psfhat = _batched_centered_fft(psf_images, psf_cens, N)
-
     psf_flux = psfhat[:, 0, 0].real[:, None, None]
-    objhat = kops.deconvolve_k(imhat, psfhat / psf_flux)
-    pix = kops.pixel_kresponse(N, dtype=images.dtype)
-
-    ksq = kops.sky_ksq(N, jac, dtype=images.dtype)
+    psfhat_n = psfhat / psf_flux
+    pix = kops.pixel_kresponse(N, dtype=psf_images.dtype)
+    ksq = kops.sky_ksq(N, jac, dtype=psf_images.dtype)
     if conf.psf_mode == "azgauss":
         sigma = jax.vmap(
             lambda ph: kops.azgauss_target_sigma(ph, ksq, nbin=N)
         )(psfhat)
     else:
         sigma = kops.gauss_target_sigma(psfhat, ksq)
+    return dict(N=N, psfhat_n=psfhat_n, pix=pix, ksq=ksq, sigma=sigma)
+
+
+def metacal_image_set(images, cens, psf_images, psf_cens,
+                      conf: MetacalConfig, psfdata=None):
+    """produce the metacal image set for a batch.
+
+    images [B, H, W]; cens [B, 2]; psf_images [B, Hp, Wp];
+    psf_cens [B, 2]. Returns (dict type -> [B, H, W] images,
+    target_sigma [B] of the *undilated* round target psf). Pass a
+    precomputed ``psfdata`` (prepare_psf_kdata) to share the psf FFTs
+    and target derivation across pipelines (fixnoise).
+    """
+    if psfdata is None:
+        psfdata = prepare_psf_kdata(psf_images, psf_cens, conf)
+    N = psfdata["N"]
+    jac = _host_jacobian(conf)
+
+    imhat = _batched_centered_fft(images, cens, N)
+    objhat = kops.deconvolve_k(imhat, psfdata["psfhat_n"])
+    pix = psfdata["pix"]
+    ksq = psfdata["ksq"]
+    sigma = psfdata["sigma"]
 
     dilation = 1.0 + 2.0 * conf.step
     sig_d = sigma * dilation
+    ghat = jnp.exp(-0.5 * (sig_d[:, None, None] ** 2) * ksq) * pix
 
     out = {}
     for type_ in conf.types:
@@ -97,10 +113,7 @@ def metacal_image_set(images, cens, psf_images, psf_cens, conf: MetacalConfig):
             S = kops.shear_matrix(g1, g2)
             M = kops.kmap_matrix(jac, S)
             sheared = kops.remap_k(objhat, M)
-        ghat = jnp.exp(-0.5 * (sig_d[:, None, None] ** 2) * ksq)
-        out[type_] = _batched_centered_ifft(
-            sheared * ghat * pix, cens, conf.dims
-        )
+        out[type_] = _batched_centered_ifft(sheared * ghat, cens, conf.dims)
     return out, sigma
 
 
@@ -155,8 +168,9 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
     fixnoise=False). Returns dict type -> result dict of batched
     arrays (gaussmom moments result or exp-LM fit result).
     """
+    psfdata = prepare_psf_kdata(psf_images, psf_cens, conf)
     odict, sigma = metacal_image_set(
-        images, cens, psf_images, psf_cens, conf
+        images, cens, psf_images, psf_cens, conf, psfdata=psfdata
     )
 
     if conf.fixnoise:
@@ -165,7 +179,7 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
         cen_c = jnp.full_like(cens, (conf.dims[0] - 1) / 2.0)
         noise_rot = jnp.rot90(noise, k=1, axes=(-2, -1))
         ndict, _ = metacal_image_set(
-            noise_rot, cen_c, psf_images, psf_cens, conf
+            noise_rot, cen_c, psf_images, psf_cens, conf, psfdata=psfdata
         )
         for t in odict:
             odict[t] = odict[t] + jnp.rot90(ndict[t], k=3, axes=(-2, -1))
@@ -349,14 +363,17 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
     def fold(x):
         return x.reshape((B * E,) + x.shape[2:])
 
+    psfdata = prepare_psf_kdata(fold(psf_images), fold(psf_cens), conf)
     odict, sigma = metacal_image_set(
-        fold(images), fold(cens), fold(psf_images), fold(psf_cens), conf
+        fold(images), fold(cens), fold(psf_images), fold(psf_cens), conf,
+        psfdata=psfdata,
     )
     if conf.fixnoise:
         cen_c = jnp.full_like(fold(cens), (conf.dims[0] - 1) / 2.0)
         noise_rot = jnp.rot90(fold(noise), k=1, axes=(-2, -1))
         ndict, _ = metacal_image_set(
-            noise_rot, cen_c, fold(psf_images), fold(psf_cens), conf
+            noise_rot, cen_c, fold(psf_images), fold(psf_cens), conf,
+            psfdata=psfdata,
         )
         for t in odict:
             odict[t] = odict[t] + jnp.rot90(ndict[t], k=3, axes=(-2, -1))

@@ -1,0 +1,50 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ngmix_tpu.batch import MetacalConfig, metacal_pipeline, shear_response
+from ngmix_tpu.parallel import make_mesh, make_sharded_pipeline_fn
+
+from test_batch_pipeline import DIMS, PSF_DIMS, SCALE, _sim_batch
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device test mesh"
+)
+def test_sharded_pipeline_matches_single_device():
+    """sharding the batch over the mesh changes nothing numerically"""
+    rng = np.random.RandomState(7)
+    args = _sim_batch(rng, 16)
+
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2,
+    )
+
+    # single device reference
+    res_single = metacal_pipeline(*args, conf, measure="gaussmom")
+    calib_single = shear_response(res_single)
+
+    # 8-device mesh
+    mesh = make_mesh(jax.devices()[:8])
+    fn, batch_sharding = make_sharded_pipeline_fn(
+        conf, mesh, measure="gaussmom"
+    )
+    sharded_args = tuple(jax.device_put(a, batch_sharding) for a in args)
+    res_sharded, calib_sharded = fn(*sharded_args)
+
+    assert np.allclose(
+        np.asarray(calib_sharded["R"]), np.asarray(calib_single["R"]),
+        rtol=1e-10,
+    )
+    assert np.allclose(
+        np.asarray(res_sharded["noshear"]["e1"]),
+        np.asarray(res_single["noshear"]["e1"]),
+        rtol=1e-10,
+    )
+    # results really are sharded over the mesh
+    shard_devs = {
+        s.device for s in res_sharded["noshear"]["e1"].addressable_shards
+    }
+    assert len(shard_devs) == 8
