@@ -153,17 +153,24 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
     def resid_int(y):
         return resid_fn(i2e(y, lo, hi), data)
 
-    jac_int = jax.jacfwd(resid_int)
+    eye_p = jnp.eye(npars, dtype=dtype)
+
+    def resid_and_jac(y):
+        """one nonlinear pass + npars linear passes via linearize
+        (cheaper than a separate residual eval + jacfwd)"""
+        r, jvp_fn = jax.linearize(resid_int, y)
+        J = jax.vmap(jvp_fn, in_axes=0, out_axes=1)(eye_p)
+        return r, J
 
     y0 = e2i(guess, lo, hi)
-    r0 = resid_int(y0)
+    r0, J0 = resid_and_jac(y0)
     cost0 = jnp.sum(r0 * r0)
 
     state = {
         "y": y0,
         "r": r0,
         "cost": cost0,
-        "J": jac_int(y0),
+        "J": J0,
         "lam": jnp.asarray(conf.lambda0, dtype),
         "nfev": jnp.int32(1),
         "done": jnp.asarray(False),
@@ -185,7 +192,7 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
         dy = jnp.where(step_ok, dy, 0.0)
 
         y_try = s["y"] + dy
-        r_try = resid_fn(i2e(y_try, lo, hi), data)
+        r_try, J_try = resid_and_jac(y_try)
         cost_try = jnp.sum(r_try * r_try)
         cost_try = jnp.where(jnp.isfinite(cost_try), cost_try, jnp.inf)
 
@@ -218,9 +225,7 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
         y_new = jnp.where(accept, y_try, s["y"])
         r_new = jnp.where(accept, r_try, s["r"])
         cost_new = jnp.where(accept, cost_try, s["cost"])
-        J_new = jax.lax.cond(
-            accept, lambda yy: jac_int(yy), lambda yy: s["J"], y_new
-        )
+        J_new = jnp.where(accept, J_try, s["J"])
 
         return {
             "y": y_new,
@@ -340,3 +345,197 @@ def get_def_stuff(npars):
     cov = np.zeros((npars, npars)) + CDEF
     err = np.zeros(npars) + CDEF
     return pars, cov, err
+
+
+def run_lm_normal_batched(normal_fn, guess, lo, hi, conf: LMConf, nres,
+                          k_space=False):
+    """Batched LM driven by normal-equation reductions.
+
+    Same algorithm and flag semantics as run_lm, but the objective is
+    supplied as ``normal_fn(x_ext [B, npars]) -> (cost [B],
+    Jtr [B, npars], JtJ [B, npars, npars])`` in EXTERNAL coordinates -
+    the shape produced by the fused Pallas reduction kernel
+    (ops.pallas_lm), which never materializes per-pixel residual or
+    jacobian arrays. The bounds chain rule (J_int = J_ext diag(g)) is
+    applied here.
+
+    ``nres`` is the residual row count (total pixels incl. masked, to
+    match the dof of the residual-based path). Prior rows are not
+    supported in this mode.
+    """
+    guess = jnp.asarray(guess)
+    B, npars = guess.shape
+    dtype = guess.dtype
+    lo = jnp.asarray(lo, dtype)
+    hi = jnp.asarray(hi, dtype)
+
+    def eval_normal(y):
+        x = i2e(y, lo, hi)
+        cost, Jtr, JtJ = normal_fn(x)
+        g = i2e_grad(y, lo, hi)
+        return cost, Jtr * g, JtJ * g[..., :, None] * g[..., None, :]
+
+    y0 = e2i(guess, lo, hi)
+    cost0, Jtr0, JtJ0 = eval_normal(y0)
+
+    state = {
+        "y": y0,
+        "cost": cost0,
+        "Jtr": Jtr0,
+        "JtJ": JtJ0,
+        "lam": jnp.full((B,), conf.lambda0, dtype),
+        "nfev": jnp.full((B,), 1, jnp.int32),
+        "done": jnp.zeros((B,), bool),
+        "ier_small_step": jnp.zeros((B,), bool),
+        "ier_small_cost": jnp.zeros((B,), bool),
+    }
+
+    def active_of(s):
+        return (~s["done"]) & (s["nfev"] < conf.maxfev)
+
+    def cond(s):
+        return jnp.any(active_of(s))
+
+    def body(s):
+        active = active_of(s)
+        dy = jax.vmap(_solve_damped)(s["JtJ"], s["Jtr"], s["lam"])
+        step_ok = jnp.all(jnp.isfinite(dy), axis=-1)
+        dy = jnp.where(step_ok[:, None], dy, 0.0)
+
+        y_try = s["y"] + dy
+        cost_try, Jtr_try, JtJ_try = eval_normal(y_try)
+        cost_try = jnp.where(jnp.isfinite(cost_try), cost_try, jnp.inf)
+
+        accept = step_ok & (cost_try < s["cost"])
+
+        pred = (
+            -jnp.einsum("bi,bi->b", dy, 2.0 * s["Jtr"])
+            - jnp.einsum("bi,bij,bj->b", dy, s["JtJ"], dy)
+        )
+        pred = jnp.maximum(pred, 1.0e-300)
+        actual = s["cost"] - cost_try
+
+        small_cost = accept & (
+            (actual <= conf.ftol * s["cost"])
+            & (pred <= conf.ftol * s["cost"])
+        )
+        ynorm = jnp.sqrt(jnp.sum(s["y"] ** 2, axis=-1))
+        small_step = accept & (
+            jnp.sqrt(jnp.sum(dy * dy, axis=-1))
+            <= conf.xtol * (ynorm + conf.xtol)
+        )
+        stuck = (~accept) & (s["lam"] >= conf.lambda_max)
+
+        new_lam = jnp.where(
+            accept,
+            jnp.maximum(s["lam"] / conf.lambda_down, conf.lambda_min),
+            jnp.minimum(s["lam"] * conf.lambda_up, conf.lambda_max * 10.0),
+        )
+
+        upd = active & accept
+
+        def sel(mask, a, b):
+            return jnp.where(
+                mask.reshape(mask.shape + (1,) * (a.ndim - 1)), a, b
+            )
+
+        return {
+            "y": sel(upd, y_try, s["y"]),
+            "cost": jnp.where(upd, cost_try, s["cost"]),
+            "Jtr": sel(upd, Jtr_try, s["Jtr"]),
+            "JtJ": sel(upd, JtJ_try, s["JtJ"]),
+            "lam": jnp.where(active, new_lam, s["lam"]),
+            "nfev": s["nfev"] + active.astype(jnp.int32),
+            "done": s["done"] | (active & (small_cost | small_step | stuck)),
+            "ier_small_step": jnp.where(
+                active, small_step, s["ier_small_step"]
+            ),
+            "ier_small_cost": jnp.where(
+                active, small_cost, s["ier_small_cost"]
+            ),
+        }
+
+    out = jax.lax.while_loop(cond, body, state)
+
+    y = out["y"]
+    pars = i2e(y, lo, hi)
+
+    JtJ = out["JtJ"]
+    grad = i2e_grad(y, lo, hi)
+    eye = jnp.eye(npars, dtype=dtype)
+    cov_int = jnp.linalg.solve(JtJ, jnp.broadcast_to(eye, JtJ.shape))
+    pcov0 = cov_int * grad[..., :, None] * grad[..., None, :]
+
+    singular = ~jnp.all(
+        jnp.isfinite(pcov0.reshape(B, -1)), axis=-1
+    )
+
+    if k_space:
+        dof = nres // 2 - npars
+    else:
+        dof = nres - npars
+    zero_dof = dof == 0
+    dof_safe = 1 if zero_dof else dof
+    s_sq = out["cost"] / dof_safe
+    pcov = pcov0 * s_sq[:, None, None]
+
+    evals = jnp.linalg.eigvalsh(
+        jnp.where(singular[:, None, None], eye, pcov)
+    )
+    neg_eig = jnp.any(evals < 0, axis=-1)
+    neg_diag = jnp.any(
+        jnp.diagonal(pcov, axis1=-2, axis2=-1) < 0, axis=-1
+    )
+    eig_notfinite = ~jnp.all(jnp.isfinite(evals), axis=-1)
+
+    func_notfinite = ~jnp.isfinite(out["cost"])
+    maxed = out["nfev"] >= conf.maxfev
+
+    flags = jnp.zeros((B,), jnp.int32)
+    izero = jnp.int32(0)
+    flags = flags | jnp.where(func_notfinite, LM_FUNC_NOTFINITE, izero)
+    flags = flags | jnp.where(
+        singular & ~func_notfinite, LM_SINGULAR_MATRIX, izero
+    )
+    if zero_dof:
+        flags = flags | ZERO_DOF
+    cov_bad = singular | zero_dof
+    flags = flags | jnp.where(
+        ~cov_bad & neg_eig & ~eig_notfinite, LM_NEG_COV_EIG, izero
+    )
+    flags = flags | jnp.where(
+        ~cov_bad & neg_diag & ~eig_notfinite, LM_NEG_COV_DIAG, izero
+    )
+    flags = flags | jnp.where(~cov_bad & eig_notfinite, EIG_NOTFINITE, izero)
+    flags = flags | jnp.where(
+        maxed & ~out["done"] & (flags == 0), MAXITER, izero
+    )
+
+    cov_ok = ~(cov_bad | neg_eig | neg_diag | eig_notfinite)
+    perr = jnp.where(
+        cov_ok[:, None],
+        jnp.sqrt(jnp.abs(jnp.diagonal(pcov, axis1=-2, axis2=-1))),
+        jnp.full((B, npars), CDEF, dtype),
+    )
+    pars_out = jnp.where(
+        func_notfinite[:, None], jnp.full((B, npars), PDEF, dtype), pars
+    )
+    pcov_out = jnp.where(
+        cov_ok[:, None, None], pcov,
+        jnp.full((B, npars, npars), CDEF, dtype),
+    )
+
+    ier = jnp.where(
+        out["ier_small_cost"], 1, jnp.where(out["ier_small_step"], 2, 5)
+    )
+    return {
+        "pars": pars_out,
+        "pars_err": perr,
+        "pars_cov": pcov_out,
+        "pars_cov0": pcov0,
+        "flags": flags,
+        "nfev": out["nfev"],
+        "ier": ier,
+        "cost": out["cost"],
+        "s_sq": s_sq,
+    }
