@@ -83,6 +83,108 @@ def make_sim_batch(key, B, dtype=jnp.float32):
     return imgs, weights, cens, pimgs, pcens, noise_field
 
 
+def _fetch(res):
+    """force execution: block_until_ready alone does not force remote
+    tunnel backends"""
+    float(jnp.sum(jax.tree.leaves(res)[0]))
+
+
+def secondary_rates(args, B):
+    """BASELINE.md configs 1-3: per-solver throughput on the same
+    stamps (EM, admom, gaussmom, pre-psf moments, gaussmom metacal).
+    Each is one jitted batched program, timed over 2 reps."""
+    from ngmix_tpu.admom import AdmomConf, admom_batch
+    from ngmix_tpu.batch import make_pixels_batch
+    from ngmix_tpu.em import EMConf, em_batch
+    from ngmix_tpu.gaussmom import gaussmom_measure
+    from ngmix_tpu.prepsfmom import prepsfmom_batch
+
+    imgs, weights, cens, pimgs, pcens, noise = args
+    dtype = imgs.dtype
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0.0, 0.0, SCALE),
+    )
+    pixels = make_pixels_batch(imgs, weights, cens, conf)
+    area = jnp.full((B,), SCALE**2, dtype)
+
+    def rate(fn, *a, nrep=2):
+        _fetch(fn(*a))
+        t0 = time.time()
+        for _ in range(nrep):
+            _fetch(fn(*a))
+        return round(B / ((time.time() - t0) / nrep), 1)
+
+    out = {}
+
+    # (1) single-gaussian EM
+    try:
+        im_min = imgs.min(axis=(1, 2))
+        im_max = imgs.max(axis=(1, 2))
+        sky = 0.001 * (im_max - im_min)
+        shifted = imgs - im_min[:, None, None] + sky[:, None, None]
+        px_em = make_pixels_batch(shifted, weights, cens, conf)
+        gmix0 = jnp.zeros((B, 1, 6), dtype)
+        gmix0 = gmix0.at[:, 0, 0].set(1.0)
+        gmix0 = gmix0.at[:, 0, 3].set(0.3).at[:, 0, 5].set(0.3)
+        psf_delta = jnp.zeros((B, 1, 6), dtype).at[:, 0, 0].set(1.0)
+        emconf = EMConf()
+        fn_em = jax.jit(
+            lambda p, g, pp, s: em_batch(p, g, pp, s, emconf)
+        )
+        out["em1_stamps_per_sec"] = rate(fn_em, px_em, gmix0, psf_delta, sky)
+    except Exception:
+        out["em1_stamps_per_sec"] = None
+
+    # (3a) adaptive moments
+    try:
+        wt0 = jnp.zeros((B, 6), dtype)
+        wt0 = wt0.at[:, 0].set(1.0).at[:, 3].set(0.3).at[:, 5].set(0.3)
+        aconf = AdmomConf()
+        fn_am = jax.jit(lambda p, w, a: admom_batch(p, w, a, aconf))
+        out["admom_stamps_per_sec"] = rate(fn_am, pixels, wt0, area)
+    except Exception:
+        out["admom_stamps_per_sec"] = None
+
+    # (3b) gaussian weighted moments
+    try:
+        fn_gm = jax.jit(
+            lambda p, a: gaussmom_measure(p, 1.2, a, use_pallas=True)
+        )
+        out["gaussmom_stamps_per_sec"] = rate(fn_gm, pixels, area)
+    except Exception:
+        out["gaussmom_stamps_per_sec"] = None
+
+    # (3c) pre-psf moments (ksigma kernel, reference pad_factor 4)
+    try:
+        tot_var = jnp.full((B,), NOISE**2, dtype)
+        fn_pp = jax.jit(
+            lambda im, c, pim, pc, tv: prepsfmom_batch(
+                im, c, pim, pc, tv, target_dim=4 * DIMS[0],
+                kernel="ksigma", jac_tuple=(SCALE, 0.0, 0.0, SCALE),
+                fwhm=2.0,
+            )
+        )
+        out["prepsfmom_stamps_per_sec"] = rate(
+            fn_pp, imgs, cens, pimgs, pcens, tot_var
+        )
+    except Exception:
+        out["prepsfmom_stamps_per_sec"] = None
+
+    # full metacal with the (lighter) gaussmom measure - the workload
+    # of the reference's metacal example (~16.7 stamps/s laptop-core)
+    try:
+        mconf = MetacalConfig(
+            dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0.0, 0.0, SCALE),
+            fixnoise=True, pad_factor=2,
+        )
+        fn_mc = make_metacal_pipeline_fn(mconf, measure="gaussmom")
+        out["metacal_gaussmom_stamps_per_sec"] = rate(fn_mc, *args)
+    except Exception:
+        out["metacal_gaussmom_stamps_per_sec"] = None
+
+    return out
+
+
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     nrep = int(sys.argv[2]) if len(sys.argv) > 2 else 5
@@ -116,6 +218,13 @@ def main():
     m = float(sr["shear"][0]) / SHEAR_TRUE - 1.0
     nbad = int(np.sum(np.asarray(res["noshear"]["flags"]) != 0))
 
+    import os
+
+    if os.environ.get("NGMIX_BENCH_SECONDARY", "1") != "0":
+        secondary = secondary_rates(args, B)
+    else:
+        secondary = {}
+
     out = {
         "metric": "metacal_exp_lm_stamps_per_sec_per_chip",
         "value": round(stamps_per_sec, 1),
@@ -131,6 +240,7 @@ def main():
             "backend": jax.default_backend(),
             "note": "vs_baseline is relative to 50x ngmix single-core "
                     "(~16.7 stamps/s); >=1 meets the north-star target",
+            **secondary,
         },
     }
     print(json.dumps(out))
