@@ -260,6 +260,22 @@ def _lm_planes(pixels):
     )
 
 
+def _exp_ad_normal_fn(pars, data):
+    """normal-equation reductions (cost, Jtr, JtJ) of the exp fit via
+    vmapped AD (jax.linearize): the XLA-fused default. Same contract as
+    _exp_normal_fn so both plug into run_lm_normal_batched."""
+    pixels, psf_gmix = data
+
+    def one(p, px, pg):
+        r, jvp_fn = jax.linearize(lambda q: _exp_lm_fdiff(q, (px, pg)), p)
+        J = jax.vmap(jvp_fn, in_axes=0, out_axes=1)(
+            jnp.eye(p.shape[-1], dtype=p.dtype)
+        )
+        return jnp.sum(r * r), J.T @ r, J.T @ J
+
+    return jax.vmap(one)(pars, pixels, psf_gmix)
+
+
 def _exp_normal_fn(pars, planes, psf_gmix, interpret=False):
     """fused normal-equation reductions (cost, Jtr, JtJ) for the
     batched exp fit via the Pallas kernel (ops.pallas_lm). The chain
@@ -293,15 +309,23 @@ def _exp_normal_fn(pars, planes, psf_gmix, interpret=False):
 
 
 def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
-                    use_pallas=None, interpret=False):
+                    use_pallas=None, interpret=False,
+                    compact_capacity="auto"):
     """batched exp LM fit; psf is the analytic round target gaussian.
     Starting guesses come from a cheap gaussian weighted-moments pass
     (deweighted size, measured shape and centroid), cutting the LM
     iteration count roughly in half vs fixed-scale guesses.
 
-    On TPU backends the solve runs through the fused Pallas
-    normal-equation kernel (one VMEM pass per iteration); elsewhere it
-    falls back to the AD residual path under vmap."""
+    The solve runs through the batched normal-equation LM driver with
+    straggler compaction (run_lm_normal_batched): the full batch
+    iterates only until the unconverged tail fits in B/8 lanes, then
+    the tail is gathered and finished at 1/8 the per-iteration cost
+    (nfev p50 ~ 5 but max ~ 23 on survey batches, so the last ~1% of
+    lanes would otherwise set the whole batch's wall clock).
+
+    use_pallas routes the reductions through the fused Pallas kernel
+    instead of vmapped AD - see ops/pallas_lm.py for why AD is the
+    default on current hardware."""
     B = pixels.val.shape[0]
     dtype = pixels.val.dtype
     psf_gmix = jnp.zeros((B, 1, 6), dtype)
@@ -355,19 +379,25 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
     # intermediates) can still win when batch * pixels presses HBM.
     if use_pallas is None:
         use_pallas = False
+    if compact_capacity == "auto":
+        # geometric halving tracks the shrinking active set; measured
+        # optimum on v5e (B=5120: 0.240s -> 0.130s for the LM stage)
+        compact_capacity = tuple(
+            B // (2 ** i) for i in range(1, 8) if B // (2 ** i) >= 32
+        )
+    nres = pixels.val.shape[-1]
     if use_pallas:
-        planes = _lm_planes(pixels)
-        out = run_lm_normal_batched(
-            lambda p: _exp_normal_fn(p, planes, psf_gmix,
-                                     interpret=interpret),
-            guess, lo, hi, lm_conf, nres=pixels.val.shape[-1],
+        data = (_lm_planes(pixels), psf_gmix)
+        normal_fn = lambda p, d: _exp_normal_fn(  # noqa: E731
+            p, d[0], d[1], interpret=interpret
         )
     else:
-        out = jax.vmap(
-            lambda p, g, pg: run_lm(
-                _exp_lm_fdiff, (p, pg), g, lo, hi, lm_conf
-            )
-        )(pixels, guess, psf_gmix)
+        data = (pixels, psf_gmix)
+        normal_fn = _exp_ad_normal_fn
+    out = run_lm_normal_batched(
+        normal_fn, data, guess, lo, hi, lm_conf, nres=nres,
+        compact_capacity=compact_capacity,
+    )
     out["e1"] = out["pars"][:, 2]
     out["e2"] = out["pars"][:, 3]
     out["T"] = out["pars"][:, 4]

@@ -347,21 +347,32 @@ def get_def_stuff(npars):
     return pars, cov, err
 
 
-def run_lm_normal_batched(normal_fn, guess, lo, hi, conf: LMConf, nres,
-                          k_space=False):
+def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
+                          nres, k_space=False, compact_capacity=None):
     """Batched LM driven by normal-equation reductions.
 
     Same algorithm and flag semantics as run_lm, but the objective is
-    supplied as ``normal_fn(x_ext [B, npars]) -> (cost [B],
+    supplied as ``normal_fn(x_ext [B, npars], data) -> (cost [B],
     Jtr [B, npars], JtJ [B, npars, npars])`` in EXTERNAL coordinates -
-    the shape produced by the fused Pallas reduction kernel
-    (ops.pallas_lm), which never materializes per-pixel residual or
-    jacobian arrays. The bounds chain rule (J_int = J_ext diag(g)) is
-    applied here.
+    either the fused Pallas reduction kernel (ops.pallas_lm) or vmapped
+    AD reductions. ``data`` is a pytree with leading dim [B] (pixels
+    etc.) that the driver may gather. The bounds chain rule
+    (J_int = J_ext diag(g)) is applied here.
 
     ``nres`` is the residual row count (total pixels incl. masked, to
     match the dof of the residual-based path). Prior rows are not
     supported in this mode.
+
+    compact_capacity: straggler compaction. A plain batched while_loop
+    pays the full [B] evaluation cost until the LAST lane converges
+    (nfev p50 ~ 5 but max ~ 23 on survey batches). With a capacity K
+    (or a descending tuple of capacities), each phase iterates its
+    batch only until the number of unconverged lanes fits in the next
+    capacity, then gathers those lanes (and their data rows) into the
+    smaller loop - identical per-lane updates and stopping criteria,
+    so results are bitwise-equal, at ~K/B the cost per tail iteration.
+    A geometric cascade (B/4, B/16, B/64) tracks the shrinking active
+    set so the straggler tail never runs at full-batch cost.
     """
     guess = jnp.asarray(guess)
     B, npars = guess.shape
@@ -369,93 +380,133 @@ def run_lm_normal_batched(normal_fn, guess, lo, hi, conf: LMConf, nres,
     lo = jnp.asarray(lo, dtype)
     hi = jnp.asarray(hi, dtype)
 
-    def eval_normal(y):
+    def eval_normal(y, d):
         x = i2e(y, lo, hi)
-        cost, Jtr, JtJ = normal_fn(x)
+        cost, Jtr, JtJ = normal_fn(x, d)
         g = i2e_grad(y, lo, hi)
         return cost, Jtr * g, JtJ * g[..., :, None] * g[..., None, :]
 
     y0 = e2i(guess, lo, hi)
-    cost0, Jtr0, JtJ0 = eval_normal(y0)
+    cost0, Jtr0, JtJ0 = eval_normal(y0, data)
 
+    n0 = guess.shape[0]
     state = {
         "y": y0,
         "cost": cost0,
         "Jtr": Jtr0,
         "JtJ": JtJ0,
-        "lam": jnp.full((B,), conf.lambda0, dtype),
-        "nfev": jnp.full((B,), 1, jnp.int32),
-        "done": jnp.zeros((B,), bool),
-        "ier_small_step": jnp.zeros((B,), bool),
-        "ier_small_cost": jnp.zeros((B,), bool),
+        "lam": jnp.full((n0,), conf.lambda0, dtype),
+        "nfev": jnp.full((n0,), 1, jnp.int32),
+        "done": jnp.zeros((n0,), bool),
+        "ier_small_step": jnp.zeros((n0,), bool),
+        "ier_small_cost": jnp.zeros((n0,), bool),
     }
 
     def active_of(s):
         return (~s["done"]) & (s["nfev"] < conf.maxfev)
 
-    def cond(s):
-        return jnp.any(active_of(s))
+    def make_body(d):
+        def body(s):
+            active = active_of(s)
+            dy = jax.vmap(_solve_damped)(s["JtJ"], s["Jtr"], s["lam"])
+            step_ok = jnp.all(jnp.isfinite(dy), axis=-1)
+            dy = jnp.where(step_ok[:, None], dy, 0.0)
 
-    def body(s):
-        active = active_of(s)
-        dy = jax.vmap(_solve_damped)(s["JtJ"], s["Jtr"], s["lam"])
-        step_ok = jnp.all(jnp.isfinite(dy), axis=-1)
-        dy = jnp.where(step_ok[:, None], dy, 0.0)
+            y_try = s["y"] + dy
+            cost_try, Jtr_try, JtJ_try = eval_normal(y_try, d)
+            cost_try = jnp.where(jnp.isfinite(cost_try), cost_try, jnp.inf)
 
-        y_try = s["y"] + dy
-        cost_try, Jtr_try, JtJ_try = eval_normal(y_try)
-        cost_try = jnp.where(jnp.isfinite(cost_try), cost_try, jnp.inf)
+            accept = step_ok & (cost_try < s["cost"])
 
-        accept = step_ok & (cost_try < s["cost"])
+            pred = (
+                -jnp.einsum("bi,bi->b", dy, 2.0 * s["Jtr"])
+                - jnp.einsum("bi,bij,bj->b", dy, s["JtJ"], dy)
+            )
+            pred = jnp.maximum(pred, 1.0e-300)
+            actual = s["cost"] - cost_try
 
-        pred = (
-            -jnp.einsum("bi,bi->b", dy, 2.0 * s["Jtr"])
-            - jnp.einsum("bi,bij,bj->b", dy, s["JtJ"], dy)
-        )
-        pred = jnp.maximum(pred, 1.0e-300)
-        actual = s["cost"] - cost_try
+            small_cost = accept & (
+                (actual <= conf.ftol * s["cost"])
+                & (pred <= conf.ftol * s["cost"])
+            )
+            ynorm = jnp.sqrt(jnp.sum(s["y"] ** 2, axis=-1))
+            small_step = accept & (
+                jnp.sqrt(jnp.sum(dy * dy, axis=-1))
+                <= conf.xtol * (ynorm + conf.xtol)
+            )
+            stuck = (~accept) & (s["lam"] >= conf.lambda_max)
 
-        small_cost = accept & (
-            (actual <= conf.ftol * s["cost"])
-            & (pred <= conf.ftol * s["cost"])
-        )
-        ynorm = jnp.sqrt(jnp.sum(s["y"] ** 2, axis=-1))
-        small_step = accept & (
-            jnp.sqrt(jnp.sum(dy * dy, axis=-1))
-            <= conf.xtol * (ynorm + conf.xtol)
-        )
-        stuck = (~accept) & (s["lam"] >= conf.lambda_max)
-
-        new_lam = jnp.where(
-            accept,
-            jnp.maximum(s["lam"] / conf.lambda_down, conf.lambda_min),
-            jnp.minimum(s["lam"] * conf.lambda_up, conf.lambda_max * 10.0),
-        )
-
-        upd = active & accept
-
-        def sel(mask, a, b):
-            return jnp.where(
-                mask.reshape(mask.shape + (1,) * (a.ndim - 1)), a, b
+            new_lam = jnp.where(
+                accept,
+                jnp.maximum(s["lam"] / conf.lambda_down, conf.lambda_min),
+                jnp.minimum(
+                    s["lam"] * conf.lambda_up, conf.lambda_max * 10.0
+                ),
             )
 
-        return {
-            "y": sel(upd, y_try, s["y"]),
-            "cost": jnp.where(upd, cost_try, s["cost"]),
-            "Jtr": sel(upd, Jtr_try, s["Jtr"]),
-            "JtJ": sel(upd, JtJ_try, s["JtJ"]),
-            "lam": jnp.where(active, new_lam, s["lam"]),
-            "nfev": s["nfev"] + active.astype(jnp.int32),
-            "done": s["done"] | (active & (small_cost | small_step | stuck)),
-            "ier_small_step": jnp.where(
-                active, small_step, s["ier_small_step"]
-            ),
-            "ier_small_cost": jnp.where(
-                active, small_cost, s["ier_small_cost"]
-            ),
-        }
+            upd = active & accept
 
-    out = jax.lax.while_loop(cond, body, state)
+            def sel(mask, a, b):
+                return jnp.where(
+                    mask.reshape(mask.shape + (1,) * (a.ndim - 1)), a, b
+                )
+
+            return {
+                "y": sel(upd, y_try, s["y"]),
+                "cost": jnp.where(upd, cost_try, s["cost"]),
+                "Jtr": sel(upd, Jtr_try, s["Jtr"]),
+                "JtJ": sel(upd, JtJ_try, s["JtJ"]),
+                "lam": jnp.where(active, new_lam, s["lam"]),
+                "nfev": s["nfev"] + active.astype(jnp.int32),
+                "done": s["done"]
+                | (active & (small_cost | small_step | stuck)),
+                "ier_small_step": jnp.where(
+                    active, small_step, s["ier_small_step"]
+                ),
+                "ier_small_cost": jnp.where(
+                    active, small_cost, s["ier_small_cost"]
+                ),
+            }
+
+        return body
+
+    if compact_capacity is None:
+        caps = []
+    elif isinstance(compact_capacity, int):
+        caps = [compact_capacity]
+    else:
+        caps = list(compact_capacity)
+    caps = sorted({int(k) for k in caps if 0 < int(k) < B}, reverse=True)
+
+    cur_state, cur_data = state, data
+    outer = []  # (state-before-gather, gathered index) per level
+    for K in caps:
+        # run this level only until the stragglers fit in K lanes
+        cur_state = jax.lax.while_loop(
+            lambda s, K=K: jnp.any(active_of(s))
+            & (jnp.sum(active_of(s)) > K),
+            make_body(cur_data),
+            cur_state,
+        )
+        # gather the (at most K) active lanes; inactive pad rows are
+        # frozen by the active mask inside the body
+        active = active_of(cur_state)
+        idx = jnp.argsort(~active)[:K]  # active lanes first
+        outer.append((cur_state, idx))
+        cur_data = jax.tree.map(lambda x: x[idx], cur_data)
+        cur_state = jax.tree.map(lambda x: x[idx], cur_state)
+
+    cur_state = jax.lax.while_loop(
+        lambda s: jnp.any(active_of(s)), make_body(cur_data), cur_state
+    )
+    # scatter each level's tail results back out; lanes left behind at
+    # a gather were inactive there, so their frozen values are final
+    for prev_state, idx in reversed(outer):
+        cur_state = jax.tree.map(
+            lambda full, part: full.at[idx].set(part),
+            prev_state, cur_state,
+        )
+    out = cur_state
 
     y = out["y"]
     pars = i2e(y, lo, hi)

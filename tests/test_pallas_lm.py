@@ -121,3 +121,24 @@ def test_lm_pallas_path_matches_ad_path():
         )
         <= 2
     )
+
+
+def test_compaction_is_exact():
+    """straggler compaction changes scheduling, not results"""
+    pixels, psf_gmix, sig = _pixel_batch(B=8, noise=1e-3)
+    conf = LMConf()
+    res_full = jax.jit(
+        lambda: _exp_lm_measure(
+            pixels, sig, conf, use_pallas=False, compact_capacity=None
+        )
+    )()
+    res_cmp = jax.jit(
+        lambda: _exp_lm_measure(
+            pixels, sig, conf, use_pallas=False, compact_capacity=3
+        )
+    )()
+    for key in ("pars", "flags", "nfev", "ier", "cost", "pars_err"):
+        assert np.allclose(
+            np.asarray(res_cmp[key]), np.asarray(res_full[key]),
+            rtol=1e-12, atol=0,
+        ), key
