@@ -212,9 +212,11 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
 
     if measure == "gaussmom":
         res_all = gaussmom_measure(pixels, measure_fwhm, area)
-    elif measure == "exp-lm":
+    elif measure.endswith("-lm") and measure[:-3] in _MODEL_FILLS:
         sig_all = jnp.tile(sig_d, len(types))
-        res_all = _exp_lm_measure(pixels, sig_all, lm_conf or LMConf())
+        res_all = _exp_lm_measure(
+            pixels, sig_all, lm_conf or LMConf(), model=measure[:-3]
+        )
     else:
         raise ValueError("bad measure: %s" % measure)
 
@@ -230,15 +232,27 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
     return results
 
 
-def _exp_lm_fdiff(pars, data):
-    """exp-model residuals for one stamp with an analytic round
+# simple 6-parameter models available as batched metacal measures
+_MODEL_FILLS = {
+    "exp": gcore.fill_exp,
+    "gauss": gcore.fill_gauss,
+    "dev": gcore.fill_dev,
+}
+
+
+def _model_lm_fdiff(pars, data, fill_fn):
+    """simple-model residuals for one stamp with an analytic round
     gaussian psf (the known metacal target)"""
     pixels, psf_gmix = data
-    gm0, gflags = gcore.fill_exp(pars)
+    gm0, gflags = fill_fn(pars)
     gm = gcore.gmix_convolve(gm0, psf_gmix)
     rows = gcore.fill_fdiff(gm, pixels)
     bad = (gflags != 0) | (gcore.gmix_flags(gm) != 0)
     return jnp.where(bad, 1.0e10, rows)
+
+
+def _exp_lm_fdiff(pars, data):
+    return _model_lm_fdiff(pars, data, gcore.fill_exp)
 
 
 def _lm_planes(pixels):
@@ -260,38 +274,50 @@ def _lm_planes(pixels):
     )
 
 
+def _make_ad_normal_fn(fill_fn):
+    """normal-equation reductions (cost, Jtr, JtJ) of a simple-model
+    fit via vmapped AD (jax.linearize): the XLA-fused default. Same
+    contract as _exp_normal_fn so both plug into
+    run_lm_normal_batched."""
+
+    def normal_fn(pars, data):
+        pixels, psf_gmix = data
+
+        def one(p, px, pg):
+            r, jvp_fn = jax.linearize(
+                lambda q: _model_lm_fdiff(q, (px, pg), fill_fn), p
+            )
+            J = jax.vmap(jvp_fn, in_axes=0, out_axes=1)(
+                jnp.eye(p.shape[-1], dtype=p.dtype)
+            )
+            return jnp.sum(r * r), J.T @ r, J.T @ J
+
+        return jax.vmap(one)(pars, pixels, psf_gmix)
+
+    return normal_fn
+
+
 def _exp_ad_normal_fn(pars, data):
-    """normal-equation reductions (cost, Jtr, JtJ) of the exp fit via
-    vmapped AD (jax.linearize): the XLA-fused default. Same contract as
-    _exp_normal_fn so both plug into run_lm_normal_batched."""
-    pixels, psf_gmix = data
-
-    def one(p, px, pg):
-        r, jvp_fn = jax.linearize(lambda q: _exp_lm_fdiff(q, (px, pg)), p)
-        J = jax.vmap(jvp_fn, in_axes=0, out_axes=1)(
-            jnp.eye(p.shape[-1], dtype=p.dtype)
-        )
-        return jnp.sum(r * r), J.T @ r, J.T @ J
-
-    return jax.vmap(one)(pars, pixels, psf_gmix)
+    return _make_ad_normal_fn(gcore.fill_exp)(pars, data)
 
 
-def _exp_normal_fn(pars, planes, psf_gmix, interpret=False):
-    """fused normal-equation reductions (cost, Jtr, JtJ) for the
-    batched exp fit via the Pallas kernel (ops.pallas_lm). The chain
+def _exp_normal_fn(pars, planes, psf_gmix, interpret=False,
+                   fill_fn=gcore.fill_exp):
+    """fused normal-equation reductions (cost, Jtr, JtJ) for a batched
+    simple-model fit via the Pallas kernel (ops.pallas_lm). The chain
     matrices come from jacfwd of the tiny fill+convolve+reparam map,
     so the jacobian is AD-exact; invalid parameter points (LOW_DET)
     get a huge finite cost so LM rejects the step, matching the
-    fdiff=1e10 convention of _exp_lm_fdiff."""
+    fdiff=1e10 convention of _model_lm_fdiff."""
     from .ops.pallas_lm import gmix_normal_eqs_pallas, gmix_reparam
 
     v, u, ia, ve = planes
-    gm0, gflags = gcore.fill_exp(pars)
+    gm0, gflags = fill_fn(pars)
     gm = gcore.gmix_convolve(gm0, psf_gmix)
     bad = (gflags != 0) | (gcore.gmix_flags(gm) != 0)
 
     def reparam_of(p, pg):
-        g0, _ = gcore.fill_exp(p)
+        g0, _ = fill_fn(p)
         return gmix_reparam(gcore.gmix_convolve(g0, pg))
 
     rp = gmix_reparam(gm)
@@ -310,8 +336,9 @@ def _exp_normal_fn(pars, planes, psf_gmix, interpret=False):
 
 def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
                     use_pallas=None, interpret=False,
-                    compact_capacity="auto"):
-    """batched exp LM fit; psf is the analytic round target gaussian.
+                    compact_capacity="auto", model="exp"):
+    """batched simple-model LM fit (model in "exp" | "gauss" | "dev");
+    psf is the analytic round target gaussian.
     Starting guesses come from a cheap gaussian weighted-moments pass
     (deweighted size, measured shape and centroid), cutting the LM
     iteration count roughly in half vs fixed-scale guesses.
@@ -386,14 +413,15 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
             B // (2 ** i) for i in range(1, 8) if B // (2 ** i) >= 32
         )
     nres = pixels.val.shape[-1]
+    fill_fn = _MODEL_FILLS[model]
     if use_pallas:
         data = (_lm_planes(pixels), psf_gmix)
         normal_fn = lambda p, d: _exp_normal_fn(  # noqa: E731
-            p, d[0], d[1], interpret=interpret
+            p, d[0], d[1], interpret=interpret, fill_fn=fill_fn
         )
     else:
         data = (pixels, psf_gmix)
-        normal_fn = _exp_ad_normal_fn
+        normal_fn = _make_ad_normal_fn(fill_fn)
     out = run_lm_normal_batched(
         normal_fn, data, guess, lo, hi, lm_conf, nres=nres,
         compact_capacity=compact_capacity,

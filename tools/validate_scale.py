@@ -4,11 +4,12 @@ Runs ~100k simulated stamps through the full batched metacal + exp-LM
 pipeline and reports the recovered multiplicative bias m with its
 uncertainty. Run: python tools/validate_scale.py [batch] [nbatch]
 
-Measured on TPU v5e (2026-08): 102400 stamps, R11 = 0.9675,
-m = 3.93e-4 +/- 1.0e-5 (99.7%) - the reference's method-intrinsic
-residual (test_metacal_accuracy asserts m ~ 3.4e-4 +/- 1e-4) resolved
-at 10x finer precision. Pure pipeline throughput 3134 stamps/s/chip;
-~1100 stamps/s sustained including host-side result fetches.
+Measured on TPU v5e (2026-08, post MXU-remap + LM compaction): 102400
+stamps, R11 = 0.9675, m = 3.93e-4 +/- 9.7e-6 (99.7%) - the reference's
+method-intrinsic residual (test_metacal_accuracy asserts
+m ~ 3.4e-4 +/- 1e-4) resolved at 10x finer precision. Pure pipeline
+throughput ~6600 stamps/s/chip at B=2048; ~3100 stamps/s sustained
+including the host-side result fetches through the tunnel.
 """
 import sys
 import time
