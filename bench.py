@@ -182,6 +182,18 @@ def secondary_rates(args, B):
     except Exception:
         out["metacal_gaussmom_stamps_per_sec"] = None
 
+    # full metacal with adaptive moments (the metadetect-style
+    # estimator)
+    try:
+        aconf2 = MetacalConfig(
+            dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0.0, 0.0, SCALE),
+            fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+        )
+        fn_am = make_metacal_pipeline_fn(aconf2, measure="admom")
+        out["metacal_admom_stamps_per_sec"] = rate(fn_am, *args)
+    except Exception:
+        out["metacal_admom_stamps_per_sec"] = None
+
     return out
 
 

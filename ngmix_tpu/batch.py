@@ -165,8 +165,10 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
     measurement of every type.
 
     noise: [B, H, W] noise field for fixnoise (pass zeros with
-    fixnoise=False). Returns dict type -> result dict of batched
-    arrays (gaussmom moments result or exp-LM fit result).
+    fixnoise=False). measure: "gaussmom" (fixed gaussian weighted
+    moments), "admom" (adaptive moments), or "<model>-lm" with model
+    in gauss/exp/dev (bounded LM fits). Returns dict type -> result
+    dict of batched arrays.
     """
     psfdata = prepare_psf_kdata(psf_images, psf_cens, conf)
     odict, sigma = metacal_image_set(
@@ -212,6 +214,18 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
 
     if measure == "gaussmom":
         res_all = gaussmom_measure(pixels, measure_fwhm, area)
+    elif measure == "admom":
+        from .admom import AdmomConf, admom_batch
+        from .moments import fwhm_to_T
+
+        Tw = float(fwhm_to_T(measure_fwhm))
+        nb = pixels.val.shape[0]
+        dtype = pixels.val.dtype
+        wt0 = jnp.zeros((nb, 6), dtype)
+        wt0 = wt0.at[:, 0].set(1.0)
+        wt0 = wt0.at[:, 3].set(Tw / 2).at[:, 5].set(Tw / 2)
+        area_b = jnp.full((nb,), area, dtype)
+        res_all = admom_batch(pixels, wt0, area_b, AdmomConf())
     elif measure.endswith("-lm") and measure[:-3] in _MODEL_FILLS:
         sig_all = jnp.tile(sig_d, len(types))
         res_all = _exp_lm_measure(

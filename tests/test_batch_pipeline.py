@@ -47,7 +47,7 @@ def test_batch_pipeline_m_bias():
         dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
         fixnoise=True, pad_factor=2, fit_dims=(25, 25),
     )
-    for measure in ("gaussmom", "exp-lm", "gauss-lm"):
+    for measure in ("gaussmom", "admom", "exp-lm", "gauss-lm"):
         res = metacal_pipeline(*args, conf, measure=measure)
         sr = shear_response(res)
         m = float(sr["shear"][0]) / 0.02 - 1
