@@ -200,6 +200,9 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
     wt_all = jnp.tile(weights, (len(types), 1, 1))
     cens_all = jnp.tile(cens, (len(types), 1))
 
+    # the pre-psf k-space measures need the full (uncropped) stamps
+    ims_full, wt_full, cens_full = ims_all, wt_all, cens_all
+
     if conf.fit_dims is not None:
         fh, fw = conf.fit_dims
         r0 = (conf.dims[0] - fh) // 2
@@ -226,6 +229,36 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
         wt0 = wt0.at[:, 3].set(Tw / 2).at[:, 5].set(Tw / 2)
         area_b = jnp.full((nb,), area, dtype)
         res_all = admom_batch(pixels, wt0, area_b, AdmomConf())
+    elif measure in ("pgauss", "ksigma"):
+        # pre-psf weighted moments on each metacal type, deconvolving
+        # the rendered round target psf (the metadetect-era estimator;
+        # ref: ngmix/prepsfmom.py PGaussMom/KSigmaMom)
+        from .prepsfmom import prepsfmom_batch
+
+        kernel = "gauss" if measure == "pgauss" else "ksigma"
+        Hp, Wp = conf.psf_dims
+        dtype = ims_full.dtype
+        pr = jnp.arange(Hp, dtype=dtype) - (Hp - 1) / 2.0
+        pc = jnp.arange(Wp, dtype=dtype) - (Wp - 1) / 2.0
+        prr, pcc = jnp.meshgrid(pr, pc, indexing="ij")
+        dvdrow, dvdcol, dudrow, dudcol = conf.jac
+        pv = (dvdrow * prr + dvdcol * pcc).reshape(-1)[None, :]
+        pu = (dudrow * prr + dudcol * pcc).reshape(-1)[None, :]
+        pg = jnp.zeros((B, 1, 6), dtype)
+        pg = pg.at[:, 0, 0].set(1.0)
+        pg = pg.at[:, 0, 3].set(sig_d**2).at[:, 0, 5].set(sig_d**2)
+        pimg = gcore.eval_gmix(pg, pv, pu, area, fast=False)
+        pimg = pimg.reshape(B, Hp, Wp)
+        pimgs_t = jnp.tile(pimg, (len(types), 1, 1))
+        pcen = jnp.asarray([(Hp - 1) / 2.0, (Wp - 1) / 2.0], dtype)
+        pcens_t = jnp.broadcast_to(pcen, (len(types) * B, 2))
+        wt_safe = jnp.where(wt_full > 0, wt_full, jnp.inf)
+        tot_var = jnp.sum(1.0 / wt_safe, axis=(-2, -1))
+        res_all = prepsfmom_batch(
+            ims_full, cens_full, pimgs_t, pcens_t, tot_var,
+            target_dim=4 * conf.dims[0], kernel=kernel,
+            jac_tuple=conf.jac, fwhm=measure_fwhm,
+        )
     elif measure.endswith("-lm") and measure[:-3] in _MODEL_FILLS:
         sig_all = jnp.tile(sig_d, len(types))
         res_all = _exp_lm_measure(

@@ -83,3 +83,23 @@ def test_batch_pipeline_mb():
     sr = shear_response(res)
     m = float(sr["shear"][0]) / 0.02 - 1
     assert abs(m) < 5e-3
+
+
+def test_batch_pipeline_prepsf_measures():
+    """pre-psf moment measures (pgauss/ksigma) calibrate through
+    metacal: |m| below ~1.5e-3 at this batch size"""
+    rng = np.random.RandomState(44)
+    args = _sim_batch(rng, 32)
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2,
+    )
+    for measure in ("pgauss", "ksigma"):
+        res = metacal_pipeline(*args, conf, measure=measure,
+                               measure_fwhm=2.0)
+        sr = shear_response(res)
+        m = float(sr["shear"][0]) / 0.02 - 1
+        assert abs(m) < 1.5e-3, (measure, m)
+        assert int(np.sum(np.asarray(res["noshear"]["flags"]) != 0)) == 0
+        # pre-psf responses are larger than the reconvolved-psf ones
+        assert 1.1 < float(sr["R"][0, 0]) < 1.8
