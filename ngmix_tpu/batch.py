@@ -17,7 +17,7 @@ import numpy as np
 
 from .gaussmom import gaussmom_measure
 from .gmix import core as gcore
-from .fitting.lm import LMConf, run_lm, run_lm_normal_batched
+from .fitting.lm import LMConf, run_lm_normal_batched
 from .jacobian import Jacobian
 from .metacal import kops
 from .metacal.defaults import DEFAULT_STEP
@@ -571,37 +571,72 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
     hi = jnp.full(npars, jnp.inf, dtype)
     conf_lm = lm_conf or LMConf()
 
-    results = {}
-    for t in conf.types:
-        ims = odict[t].reshape(B, E, *conf.dims)
-        pixels = make_pixels_batch(
-            fold(ims), fold(weights), fold(cens), conf
-        )
-        pixels = jax.tree.map(
-            lambda x: x.reshape(B, E, -1), pixels
-        )
-        data = FitData(
-            pixels=pixels, psf_gmix=psf_gmix,
-            band=jnp.broadcast_to(band, (B, E)).astype(jnp.int32),
-        )
+    # stack the metacal types into the batch axis (one solver program,
+    # one straggler-compacted while_loop for all types) and fit with
+    # the normal-equation LM driver
+    T = len(conf.types)
+    ims_st = jnp.concatenate([odict[t] for t in conf.types], axis=0)
+    wt_st = jnp.tile(fold(weights), (T, 1, 1))
+    cens_st = jnp.tile(fold(cens), (T, 1))
+    conf_fit = conf
+    if conf.fit_dims is not None:
+        fh, fw = conf.fit_dims
+        r0 = (conf.dims[0] - fh) // 2
+        c0 = (conf.dims[1] - fw) // 2
+        ims_st = ims_st[:, r0:r0 + fh, c0:c0 + fw]
+        wt_st = wt_st[:, r0:r0 + fh, c0:c0 + fw]
+        cens_st = cens_st - jnp.asarray([r0, c0], cens_st.dtype)
+        conf_fit = conf._replace(dims=(fh, fw))
+    pixels = make_pixels_batch(ims_st, wt_st, cens_st, conf_fit)
+    pixels = jax.tree.map(lambda x: x.reshape(T * B, E, -1), pixels)
+    data = FitData(
+        pixels=pixels,
+        psf_gmix=jnp.tile(psf_gmix, (T, 1, 1, 1)),
+        band=jnp.broadcast_to(band, (T * B, E)).astype(jnp.int32),
+    )
 
-        wsum = jnp.sum(
-            pixels.val[:, 0] * (pixels.ierr[:, 0] > 0), axis=-1
+    wsum = jnp.sum(
+        pixels.val[:, 0] * (pixels.ierr[:, 0] > 0), axis=-1
+    )
+    guess = jnp.concatenate(
+        [
+            jnp.zeros((T * B, 4), dtype),
+            jnp.full((T * B, 1), 0.5, dtype),
+            jnp.broadcast_to(wsum[:, None], (T * B, nband)),
+        ],
+        axis=-1,
+    )
+
+    eye = jnp.eye(npars, dtype=dtype)
+
+    def mb_normal_fn(pars, d):
+        def one(p, dd):
+            r, jvp_fn = jax.linearize(lambda q: fdiff_fn(q, dd), p)
+            J = jax.vmap(jvp_fn, in_axes=0, out_axes=1)(eye)
+            return jnp.sum(r * r), J.T @ r, J.T @ J
+
+        return jax.vmap(one)(pars, d)
+
+    nres = E * pixels.val.shape[-1]
+    caps = tuple(
+        T * B // (2 ** i) for i in range(1, 8) if T * B // (2 ** i) >= 32
+    )
+    out = run_lm_normal_batched(
+        mb_normal_fn, data, guess, lo, hi, conf_lm, nres=nres,
+        compact_capacity=caps,
+    )
+    out["e1"] = out["pars"][:, 2]
+    out["e2"] = out["pars"][:, 3]
+    out["T"] = out["pars"][:, 4]
+
+    results = {}
+    for i, t in enumerate(conf.types):
+        results[t] = jax.tree.map(
+            lambda x: x[i * B:(i + 1) * B] if (
+                hasattr(x, "shape") and x.ndim >= 1
+                and x.shape[0] == T * B
+            ) else x,
+            out,
         )
-        guess = jnp.concatenate(
-            [
-                jnp.zeros((B, 4), dtype),
-                jnp.full((B, 1), 0.5, dtype),
-                jnp.broadcast_to(wsum[:, None], (B, nband)),
-            ],
-            axis=-1,
-        )
-        out = jax.vmap(
-            lambda d, g: run_lm(fdiff_fn, d, g, lo, hi, conf_lm)
-        )(data, guess)
-        out["e1"] = out["pars"][:, 2]
-        out["e2"] = out["pars"][:, 3]
-        out["T"] = out["pars"][:, 4]
-        results[t] = out
     results["psf_sigma"] = sigma.reshape(B, E)
     return results
