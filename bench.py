@@ -107,12 +107,12 @@ def secondary_rates(args, B):
     pixels = make_pixels_batch(imgs, weights, cens, conf)
     area = jnp.full((B,), SCALE**2, dtype)
 
-    def rate(fn, *a, nrep=2):
+    def rate(fn, *a, nrep=2, n=None):
         _fetch(fn(*a))
         t0 = time.time()
         for _ in range(nrep):
             _fetch(fn(*a))
-        return round(B / ((time.time() - t0) / nrep), 1)
+        return round((n or B) / ((time.time() - t0) / nrep), 1)
 
     out = {}
 
@@ -175,12 +175,36 @@ def secondary_rates(args, B):
     try:
         mconf = MetacalConfig(
             dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0.0, 0.0, SCALE),
-            fixnoise=True, pad_factor=2,
+            fixnoise=True, pad_factor=2, fit_dims=(25, 25),
         )
         fn_mc = make_metacal_pipeline_fn(mconf, measure="gaussmom")
         out["metacal_gaussmom_stamps_per_sec"] = rate(fn_mc, *args)
     except Exception:
         out["metacal_gaussmom_stamps_per_sec"] = None
+
+    # multi-band multi-epoch exp fits (BASELINE config 5): identical
+    # epochs tiled from the single-band sims, 3 epochs over 2 bands
+    try:
+        from ngmix_tpu.batch import metacal_pipeline_mb
+
+        E, nband = 3, 2
+        Bmb = min(B, 512)
+        mb_args = tuple(
+            jnp.repeat(a[:Bmb, None], E, axis=1) for a in args
+        )
+        band = jnp.asarray([0, 0, 1])
+        mbconf = MetacalConfig(
+            dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0.0, 0.0, SCALE),
+            fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+        )
+        fn_mb = jax.jit(
+            lambda *a: metacal_pipeline_mb(*a, band, nband, mbconf)
+        )
+        r = rate(fn_mb, *mb_args, n=Bmb)
+        out["metacal_mb_objects_per_sec"] = r
+        out["metacal_mb_epoch_stamps_per_sec"] = round(r * E, 1)
+    except Exception:
+        out["metacal_mb_objects_per_sec"] = None
 
     # full metacal with adaptive moments (the metadetect-style
     # estimator)

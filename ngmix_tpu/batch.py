@@ -518,6 +518,60 @@ def shear_response(results, step=DEFAULT_STEP):
     return {"e_mean": e_ns, "R": R, "shear": shear}
 
 
+def shear_response_select(results, select_fn, step=DEFAULT_STEP):
+    """mean shear with the selection-response correction.
+
+    The measurement response R is computed from the sheared
+    measurements under the selection derived from noshear; the
+    selection response R_sel uses the NOSHEAR ellipticities averaged
+    under selections derived from each sheared catalog
+    (Sheldon & Huff 2017 eq. 10-12; the reference demonstrates this in
+    examples/metacal/metacal_select.py). select_fn maps a type's
+    result dict to a boolean [B] keep mask. Returns e_mean, R, R_sel,
+    and shear = (R + R_sel)^-1 e_mean.
+    """
+    def mean_e(val_t, sel_t):
+        ok = (
+            (results[val_t]["flags"] == 0)
+            & (results[sel_t]["flags"] == 0)
+            & select_fn(results[sel_t])
+        )
+        n = jnp.sum(ok)
+        e1 = jnp.sum(jnp.where(ok, results[val_t]["e1"], 0.0)) / n
+        e2 = jnp.sum(jnp.where(ok, results[val_t]["e2"], 0.0)) / n
+        return jnp.stack([e1, e2])
+
+    e_ns = mean_e("noshear", "noshear")
+    # measurement response: sheared measurements, noshear selection
+    R = jnp.array(
+        [
+            [
+                (mean_e("1p", "noshear")[0] - mean_e("1m", "noshear")[0]),
+                (mean_e("2p", "noshear")[0] - mean_e("2m", "noshear")[0]),
+            ],
+            [
+                (mean_e("1p", "noshear")[1] - mean_e("1m", "noshear")[1]),
+                (mean_e("2p", "noshear")[1] - mean_e("2m", "noshear")[1]),
+            ],
+        ]
+    ) / (2 * step)
+    # selection response: noshear measurements, sheared selections
+    R_sel = jnp.array(
+        [
+            [
+                (mean_e("noshear", "1p")[0] - mean_e("noshear", "1m")[0]),
+                (mean_e("noshear", "2p")[0] - mean_e("noshear", "2m")[0]),
+            ],
+            [
+                (mean_e("noshear", "1p")[1] - mean_e("noshear", "1m")[1]),
+                (mean_e("noshear", "2p")[1] - mean_e("noshear", "2m")[1]),
+            ],
+        ]
+    ) / (2 * step)
+    shear = jnp.linalg.solve(R + R_sel, e_ns)
+    return {"e_mean": e_ns, "R": R, "R_sel": R_sel, "shear": shear}
+
+
 # ----------------------------------------------------------------------
 # multi-epoch / multi-band pipeline (MEDS-style)
 

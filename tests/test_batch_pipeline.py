@@ -103,3 +103,24 @@ def test_batch_pipeline_prepsf_measures():
         assert int(np.sum(np.asarray(res["noshear"]["flags"]) != 0)) == 0
         # pre-psf responses are larger than the reconvolved-psf ones
         assert 1.1 < float(sr["R"][0, 0]) < 1.8
+
+
+def test_shear_response_select():
+    """keep-everything selection reproduces the plain estimator with
+    zero selection response"""
+    from ngmix_tpu.batch import shear_response_select
+
+    rng = np.random.RandomState(45)
+    args = _sim_batch(rng, 16)
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2,
+    )
+    res = metacal_pipeline(*args, conf, measure="gaussmom")
+    plain = shear_response(res)
+    sel = shear_response_select(res, lambda r: r["s2n"] > -1.0)
+    assert np.allclose(np.asarray(sel["R"]), np.asarray(plain["R"]))
+    assert np.allclose(np.asarray(sel["R_sel"]), 0.0)
+    assert np.allclose(
+        np.asarray(sel["shear"]), np.asarray(plain["shear"])
+    )
