@@ -16,6 +16,7 @@ from . import moments  # noqa: F401
 from . import pixels  # noqa: F401
 from . import shape  # noqa: F401
 from . import util  # noqa: F401
+from .util import print_pars  # noqa: F401
 from .gexceptions import (  # noqa: F401
     BootGalFailure,
     BootPSFFailure,
@@ -47,6 +48,7 @@ from .gmix import (  # noqa: F401
 from .gmix.gmix_lists import GMixList, MultiBandGMixList  # noqa: F401
 from . import gaussap  # noqa: F401
 from . import priors  # noqa: F401
+from .priors import srandu  # noqa: F401
 from . import joint_prior  # noqa: F401
 from . import em  # noqa: F401
 from . import fitting  # noqa: F401
@@ -66,6 +68,7 @@ from . import metacal  # noqa: F401
 from . import gmix_ndim  # noqa: F401
 from .gmix_ndim import GMixND  # noqa: F401
 from . import fastexp  # noqa: F401
+fastexp_nb = fastexp  # reference-name alias (ngmix/__init__.py:31)
 from . import medsreaders  # noqa: F401
 from . import kobs  # noqa: F401
 from .kobs import (  # noqa: F401

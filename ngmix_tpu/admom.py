@@ -581,3 +581,10 @@ def find_cen_admom(obs, fwhm=None, gmix=None, maxiter=DEFAULT_MAXITER,
     else:
         res["cen"] = np.zeros(2) + np.nan
     return res
+
+
+# reference package-layout alias (ngmix.admom.admom)
+import sys as _sys
+
+admom = _sys.modules[__name__]
+admom_nb = admom

@@ -436,3 +436,10 @@ def run_em(obs, guess, sky=None, fixcen=False, fixcov=False, fluxonly=False,
 
 # backwards-compat alias (ref: em.py:70-71)
 fit_em = run_em
+
+
+# reference package-layout alias (ngmix.em.em)
+import sys as _sys
+
+em = _sys.modules[__name__]
+em_nb = em

@@ -20,3 +20,13 @@ from .kspace_fitters import (  # noqa: F401
     KSpaceFitModel,
 )
 from . import noise_cov  # noqa: F401
+
+# reference module-path aliases (internal layout names a migrating
+# user may reach for): leastsqbound -> lm, results -> fit_model,
+# galsim_fitters/galsim_results -> kspace_fitters
+from . import fit_model, kspace_fitters, lm  # noqa: F401,E402
+
+leastsqbound = lm
+results = fit_model
+galsim_fitters = kspace_fitters
+galsim_results = kspace_fitters

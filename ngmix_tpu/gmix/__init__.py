@@ -27,3 +27,7 @@ from .gmix import (  # noqa: F401
     make_gmix_model,
 )
 from .gmix_lists import GMixList, MultiBandGMixList  # noqa: F401
+
+# reference module-path aliases: the numba tier's roles live in core
+gmix_nb = core
+render_nb = core

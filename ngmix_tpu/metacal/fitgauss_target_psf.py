@@ -70,3 +70,17 @@ def _get_ellip_dilation(e1, e2, T):
     dilation = np.sqrt(eigs.max() / (T / 2.0))
     dilation = 1.0 + 2 * (dilation - 1.0)
     return min(dilation, 1.1)
+
+
+def get_fitgauss_target_psf(psfobs, rng, flux=None):
+    """reconvolution kernel from a gaussian fit to the psf (ref:
+    metacal/fitgauss_target_psf.py:9-61). Deviation: returns a round
+    GMixModel ('gauss') rather than a galsim.Gaussian."""
+    import numpy as np
+
+    from ..gmix.gmix import GMixModel
+
+    if flux is None:
+        flux = float(np.sum(psfobs.image))
+    T = float(get_fitgauss_target_T(psfobs, rng))
+    return GMixModel(np.array([0.0, 0.0, 0.0, 0.0, T, flux]), "gauss")

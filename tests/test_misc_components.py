@@ -162,3 +162,39 @@ def test_checkpoint_roundtrip(tmp_path):
     assert table["pars"].shape == (12, 6)
     assert table["nested/flags"].shape == (12,)
     assert np.all(table["pars"][4:8] == 1)
+
+
+def test_target_psf_compat_functions():
+    """reference-named target-psf entry points return round GMixModels"""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ngmix_tpu.metacal import (
+        get_azgauss_target_psf,
+        get_fitgauss_target_psf,
+        kops,
+    )
+
+    # azgauss: gaussian psf in k -> target slightly larger than psf
+    N = 64
+    sig = 0.9 * 0.263
+    from ngmix_tpu.jacobian import DiagonalJacobian
+    jac = DiagonalJacobian(row=0, col=0, scale=0.263)
+    ksq = kops.sky_ksq(N, jac)
+    psfhat = jnp.exp(-0.5 * sig**2 * ksq)
+    gm = get_azgauss_target_psf(psfhat, ksq, nbin=N)
+    assert gm._model_name == "gauss" or len(gm) == 1
+    T = gm.get_T()
+    assert T > 2 * sig**2  # strictly larger (conservative pinning)
+    assert T < 8 * sig**2
+
+    # fitgauss: fit-then-dilate on a psf observation
+    from _sims import get_model_obs
+
+    rng = np.random.RandomState(3)
+    data = get_model_obs(rng=rng, model="gauss", noise=0.01)
+    psf_obs = data["obs"].psf
+    gm2 = get_fitgauss_target_psf(psf_obs, rng)
+    assert len(gm2) == 1
+    assert gm2.get_T() > 0
+    assert np.allclose(gm2.get_flux(), np.sum(psf_obs.image), rtol=1e-6)
