@@ -175,7 +175,7 @@ def secondary_rates(args, B):
     try:
         mconf = MetacalConfig(
             dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0.0, 0.0, SCALE),
-            fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+            fixnoise=True, pad_factor=2, fit_dims=(19, 19),
         )
         fn_mc = make_metacal_pipeline_fn(mconf, measure="gaussmom")
         out["metacal_gaussmom_stamps_per_sec"] = rate(fn_mc, *args)
@@ -195,7 +195,7 @@ def secondary_rates(args, B):
         band = jnp.asarray([0, 0, 1])
         mbconf = MetacalConfig(
             dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0.0, 0.0, SCALE),
-            fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+            fixnoise=True, pad_factor=2, fit_dims=(19, 19),
         )
         fn_mb = jax.jit(
             lambda *a: metacal_pipeline_mb(*a, band, nband, mbconf)
@@ -211,7 +211,7 @@ def secondary_rates(args, B):
     try:
         aconf2 = MetacalConfig(
             dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0.0, 0.0, SCALE),
-            fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+            fixnoise=True, pad_factor=2, fit_dims=(19, 19),
         )
         fn_am = make_metacal_pipeline_fn(aconf2, measure="admom")
         out["metacal_admom_stamps_per_sec"] = rate(fn_am, *args)
@@ -230,7 +230,7 @@ def main():
 
     conf = MetacalConfig(
         dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0.0, 0.0, SCALE),
-        fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+        fixnoise=True, pad_factor=2, fit_dims=(19, 19),
     )
     fn = make_metacal_pipeline_fn(conf, measure="exp-lm")
 

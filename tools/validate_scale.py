@@ -26,7 +26,7 @@ from ngmix_tpu.batch import MetacalConfig, make_metacal_pipeline_fn  # noqa: E40
 def main(Bsz=2048, nbatch=50):
     conf = MetacalConfig(
         dims=B.DIMS, psf_dims=B.PSF_DIMS, jac=(B.SCALE, 0.0, 0.0, B.SCALE),
-        fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+        fixnoise=True, pad_factor=2, fit_dims=(19, 19),
     )
     fn = make_metacal_pipeline_fn(conf, measure="exp-lm")
     sim_fn = jax.jit(lambda k: B.make_sim_batch(k, Bsz))
