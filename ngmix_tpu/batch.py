@@ -33,7 +33,7 @@ class MetacalConfig(NamedTuple):
     step: float = DEFAULT_STEP
     types: tuple = ("noshear", "1p", "1m", "2p", "2m")
     fixnoise: bool = True
-    psf_mode: str = "gauss"  # 'gauss' | 'azgauss'
+    psf_mode: str = "gauss"  # 'gauss' | 'azgauss' | 'fitgauss'
     pad_factor: int = 4  # FFT grid = pad_factor * stamp size
     # optional central crop for the measurement stage: pixels outside
     # the model support carry zero parameter gradient, so fitting on a
@@ -74,9 +74,56 @@ def prepare_psf_kdata(psf_images, psf_cens, conf: MetacalConfig):
         sigma = jax.vmap(
             lambda ph: kops.azgauss_target_sigma(ph, ksq, nbin=N)
         )(psfhat)
+    elif conf.psf_mode == "fitgauss":
+        sigma = _fitgauss_target_sigma_batch(psf_images, psf_cens, conf)
+        # per-lane fallback to the conservative k-pinned derivation
+        # where the fit failed (host path raises BootPSFFailure only
+        # after several retries; the batch path degrades gracefully)
+        sigma = jnp.where(
+            jnp.isfinite(sigma) & (sigma > 0),
+            sigma, kops.gauss_target_sigma(psfhat, ksq),
+        )
     else:
         sigma = kops.gauss_target_sigma(psfhat, ksq)
     return dict(N=N, psfhat_n=psfhat_n, pix=pix, ksq=ksq, sigma=sigma)
+
+
+def _fitgauss_target_sigma_batch(psf_images, psf_cens, conf):
+    """round target sigma from a batched adaptive-moments gaussian fit
+    of each psf stamp with the ellipticity-driven dilation (the device
+    equivalent of metacal/fitgauss_target_psf.py get_fitgauss_target_T;
+    NaN where the fit failed so the caller can substitute)."""
+    from .admom import AdmomConf, admom_batch
+    from .moments import e2mom, fwhm_to_T
+
+    B = psf_images.shape[0]
+    dtype = psf_images.dtype
+    conf_psf = conf._replace(dims=conf.psf_dims)
+    pixels = make_pixels_batch(
+        psf_images, jnp.ones_like(psf_images), psf_cens, conf_psf
+    )
+    scale = abs(
+        conf.jac[0] * conf.jac[3] - conf.jac[1] * conf.jac[2]
+    ) ** 0.5
+    Tg = float(fwhm_to_T(3.5 * scale))
+    wt0 = jnp.zeros((B, 6), dtype)
+    wt0 = wt0.at[:, 0].set(1.0)
+    wt0 = wt0.at[:, 3].set(Tg / 2).at[:, 5].set(Tg / 2)
+    area = jnp.full((B,), scale**2, dtype)
+    res = admom_batch(pixels, wt0, area, AdmomConf())
+
+    e1, e2, T = res["e1"], res["e2"], res["T"]
+    T_safe = jnp.where(T > 0, T, 1.0)
+    irr, irc, icc = e2mom(e1, e2, T_safe)
+    half = 0.5 * (irr + icc)
+    d = jnp.sqrt((0.5 * (irr - icc)) ** 2 + irc**2)
+    eigmax = half + d
+    dil = jnp.minimum(
+        1.0 + 2.0 * (jnp.sqrt(eigmax / (T_safe / 2.0)) - 1.0), 1.1
+    )
+    sigma = jnp.sqrt(T_safe * dil / 2.0)
+    ok = (res["flags"] == 0) & (T > 0)
+    return jnp.where(ok, sigma, jnp.nan)
 
 
 def metacal_image_set(images, cens, psf_images, psf_cens,

@@ -124,3 +124,32 @@ def test_shear_response_select():
     assert np.allclose(
         np.asarray(sel["shear"]), np.asarray(plain["shear"])
     )
+
+
+def test_batch_pipeline_fitgauss_psf_mode():
+    """psf_mode='fitgauss' matches the host fit-then-dilate derivation
+    and calibrates"""
+    from ngmix_tpu import DiagonalJacobian, Observation
+    from ngmix_tpu.metacal.fitgauss_target_psf import get_fitgauss_target_T
+
+    rng = np.random.RandomState(46)
+    args = _sim_batch(rng, 16)
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2, psf_mode="fitgauss",
+    )
+    res = metacal_pipeline(*args, conf, measure="gaussmom")
+    sr = shear_response(res)
+    m = float(sr["shear"][0]) / 0.02 - 1
+    assert abs(m) < 1.5e-3
+    assert int(np.sum(np.asarray(res["noshear"]["flags"]) != 0)) == 0
+
+    # the batched target sigma matches the host derivation
+    pimg = np.asarray(args[3][0])
+    pjac = DiagonalJacobian(row=12, col=12, scale=SCALE)
+    pobs = Observation(pimg, jacobian=pjac)
+    T_host = get_fitgauss_target_T(pobs, np.random.RandomState(3))
+    sig_host = np.sqrt(T_host / 2.0)
+    assert np.allclose(
+        float(res["psf_sigma"][0]), sig_host, rtol=0.02
+    )
