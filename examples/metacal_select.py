@@ -28,7 +28,6 @@ import numpy as np
 from ngmix_tpu.batch import (
     MetacalConfig,
     metacal_pipeline,
-    shear_response,
     shear_response_select,
 )
 from ngmix_tpu.gmix import core as gcore

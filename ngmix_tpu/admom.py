@@ -15,7 +15,6 @@ import numpy as np
 
 from . import flags as nf
 from .defaults import GMIX_LOW_DETVAL
-from .gexceptions import GMixRangeError
 from .gmix import core as gcore
 from .gmix.gmix import GMix, GMixModel
 from .observation import Observation

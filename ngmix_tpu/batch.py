@@ -8,7 +8,6 @@ image set with optional fixnoise, and the per-type measurements - is
 one jitted program over stacked [B, H, W] arrays, sharding over the
 batch axis on a device mesh (see parallel/).
 """
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -10,13 +10,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..defaults import DEFAULT_LM_PARS
-from ..gexceptions import GMixRangeError
 from ..gmix.gmix import get_model_name, get_model_num
 from .fit_model import (
     CoellipFitModel,
     FitModel,
     PSFFluxFitModel,
-    SIMPLE_ANALYTIC_MODELS,
     make_fdiff_fn,
 )
 from .lm import LMConf, get_def_stuff, run_lm_jit

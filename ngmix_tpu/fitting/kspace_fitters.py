@@ -29,8 +29,7 @@ from ..defaults import DEFAULT_LM_PARS
 from ..gexceptions import GMixRangeError
 from ..gmix import tables as gtables
 from ..kobs import KMultiBandObsList, KObsList, KObservation, get_kmb_obs, make_kobs
-from ..metacal.kops import shear_matrix
-from .fit_model import FDIFF_BAD, PSFFluxFitModel, _set_flux
+from .fit_model import FDIFF_BAD, PSFFluxFitModel
 from .lm import LMConf, get_def_stuff, run_lm_jit
 
 logger = logging.getLogger(__name__)

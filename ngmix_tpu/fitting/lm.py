@@ -27,7 +27,6 @@ import numpy as np
 
 from ..defaults import CDEF, PDEF
 from ..flags import (
-    DIV_ZERO,
     EIG_NOTFINITE,
     LM_FUNC_NOTFINITE,
     LM_NEG_COV_DIAG,

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..gexceptions import GMixRangeError
 from ..shape import Shape
 from . import kops
 from .defaults import DEFAULT_STEP, METACAL_MINIMAL_TYPES, METACAL_TYPES

@@ -10,7 +10,6 @@ The reference has no distributed layer at all; it farms processes
 externally. Here a 100k-stamp catalog on a v5e-8 pod slice is one jit.
 """
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
