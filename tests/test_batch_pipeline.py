@@ -153,3 +153,19 @@ def test_batch_pipeline_fitgauss_psf_mode():
     assert np.allclose(
         float(res["psf_sigma"][0]), sig_host, rtol=0.02
     )
+
+
+def test_batch_pipeline_dev_lm_smoke():
+    """dev-lm measure runs and calibrates on (misspecified) exp sims"""
+    rng = np.random.RandomState(47)
+    args = _sim_batch(rng, 16)
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+    )
+    res = metacal_pipeline(*args, conf, measure="dev-lm")
+    nbad = int(np.sum(np.asarray(res["noshear"]["flags"]) != 0))
+    assert nbad == 0
+    sr = shear_response(res)
+    # metacal calibrates even a misspecified model
+    assert abs(float(sr["shear"][0]) / 0.02 - 1) < 3e-3
