@@ -83,6 +83,12 @@ class Fitter(object):
 
         fdiff_fn = _get_fdiff_fn(self.model_name, self.prior)
 
+        # masked pixels stay in the grid as zero residual rows; count
+        # only live rows for the chi2/dof covariance scale (matches the
+        # reference's compacted pixel lists)
+        n_eff = fit_model.n_prior_pars + int(
+            np.sum(np.asarray(fit_model.data.pixels.ierr) > 0)
+        )
         out = run_lm_jit(
             fdiff_fn,
             fit_model.data,
@@ -91,6 +97,7 @@ class Fitter(object):
             jnp.asarray(hi),
             conf,
             n_prior_pars=fit_model.n_prior_pars,
+            n_eff=n_eff,
         )
 
         result = {

@@ -123,7 +123,7 @@ def _solve_damped(JtJ, Jtr, lam):
 
 
 def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
-           k_space=False):
+           k_space=False, n_eff=None):
     """minimize sum(resid_fn(x, data)^2) over x with box bounds.
 
     Parameters
@@ -137,6 +137,11 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
     n_prior_pars : rows at the start of the residual that belong to
         priors (excluded from the chi^2/dof covariance scale)
     k_space : halve the dof (complex residuals; leastsqbound.py:96-98)
+    n_eff : effective residual row count (incl. prior rows) for the
+        chi^2/dof scale. The residual vector here keeps masked pixels
+        as zero rows (ierr=0) where the reference's compacted pixel
+        lists drop them; pass the unmasked count (traced scalar is
+        fine) so dof matches. Default: the static row count.
 
     Returns
     -------
@@ -257,13 +262,14 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
     singular = ~jnp.all(jnp.isfinite(pcov0))
 
     # chi2/dof scaling over the non-prior rows
-    nres = r.shape[-1]
+    nres = r.shape[-1] if n_eff is None else jnp.asarray(n_eff)
     if k_space:
         dof = (nres - n_prior_pars) // 2 - npars
     else:
         dof = nres - n_prior_pars - npars
+    dof = jnp.asarray(dof)
     zero_dof = dof == 0
-    dof_safe = 1 if zero_dof else dof
+    dof_safe = jnp.maximum(dof, 1)
     s_sq = jnp.sum(r[n_prior_pars:] ** 2) / dof_safe
     pcov = pcov0 * s_sq
 
@@ -280,8 +286,7 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
     izero = jnp.int32(0)
     flags = flags | jnp.where(func_notfinite, LM_FUNC_NOTFINITE, izero)
     flags = flags | jnp.where(singular & ~func_notfinite, LM_SINGULAR_MATRIX, izero)
-    if zero_dof:
-        flags = flags | ZERO_DOF
+    flags = flags | jnp.where(zero_dof, ZERO_DOF, izero)
     cov_bad = singular | zero_dof
     flags = flags | jnp.where(
         ~cov_bad & neg_eig & ~eig_notfinite, LM_NEG_COV_EIG, izero
@@ -323,19 +328,26 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
 
 @partial(jax.jit, static_argnames=("resid_fn", "conf", "n_prior_pars", "k_space"))
 def run_lm_jit(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
-               k_space=False):
+               k_space=False, n_eff=None):
     return run_lm(resid_fn, data, guess, lo, hi, conf,
-                  n_prior_pars=n_prior_pars, k_space=k_space)
+                  n_prior_pars=n_prior_pars, k_space=k_space, n_eff=n_eff)
 
 
 @partial(jax.jit, static_argnames=("resid_fn", "conf", "n_prior_pars", "k_space"))
 def run_lm_batch(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
-                 k_space=False):
-    """vmapped LM over a batch: data/guess carry a leading [B] dim"""
+                 k_space=False, n_eff=None):
+    """vmapped LM over a batch: data/guess carry a leading [B] dim;
+    n_eff (if given) is a per-stamp [B] effective row count"""
+    if n_eff is None:
+        return jax.vmap(
+            lambda d, g: run_lm(resid_fn, d, g, lo, hi, conf,
+                                n_prior_pars=n_prior_pars, k_space=k_space)
+        )(data, guess)
     return jax.vmap(
-        lambda d, g: run_lm(resid_fn, d, g, lo, hi, conf,
-                            n_prior_pars=n_prior_pars, k_space=k_space)
-    )(data, guess)
+        lambda d, g, ne: run_lm(resid_fn, d, g, lo, hi, conf,
+                                n_prior_pars=n_prior_pars, k_space=k_space,
+                                n_eff=ne)
+    )(data, guess, jnp.asarray(n_eff))
 
 
 def get_def_stuff(npars):
@@ -347,7 +359,8 @@ def get_def_stuff(npars):
 
 
 def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
-                          nres, k_space=False, compact_capacity=None):
+                          nres, k_space=False, compact_capacity=None,
+                          prior_fn=None):
     """Batched LM driven by normal-equation reductions.
 
     Same algorithm and flag semantics as run_lm, but the objective is
@@ -358,9 +371,17 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
     etc.) that the driver may gather. The bounds chain rule
     (J_int = J_ext diag(g)) is applied here.
 
-    ``nres`` is the residual row count (total pixels incl. masked, to
-    match the dof of the residual-based path). Prior rows are not
-    supported in this mode.
+    ``nres`` is the pixel residual row count - an int, or a [B] array
+    of per-stamp unmasked counts so the chi^2/dof covariance scale
+    matches the reference's compacted pixel lists (prior rows never
+    enter it).
+
+    ``prior_fn`` (optional) maps ONE external parameter vector
+    [npars] -> prior pseudo-residual rows [n_prior_rows] (e.g. a joint
+    prior's fill_fdiff_device). Rows contribute rank-1 terms to
+    cost/Jtr/JtJ via jacfwd - the batched equivalent of the reference's
+    prior rows at the head of the residual vector
+    (ngmix/fitting/results.py:439-485).
 
     compact_capacity: straggler compaction. A plain batched while_loop
     pays the full [B] evaluation cost until the LAST lane converges
@@ -379,19 +400,32 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
     lo = jnp.asarray(lo, dtype)
     hi = jnp.asarray(hi, dtype)
 
+    if prior_fn is not None:
+        prior_rows_batch = jax.vmap(prior_fn)
+        prior_jac_batch = jax.vmap(jax.jacfwd(prior_fn))
+
     def eval_normal(y, d):
         x = i2e(y, lo, hi)
-        cost, Jtr, JtJ = normal_fn(x, d)
+        cost_pix, Jtr, JtJ = normal_fn(x, d)
+        cost = cost_pix
+        if prior_fn is not None:
+            rows = prior_rows_batch(x)  # [B, n_prior_rows]
+            Jp = prior_jac_batch(x)  # [B, n_prior_rows, npars]
+            cost = cost + jnp.sum(rows * rows, axis=-1)
+            Jtr = Jtr + jnp.einsum("bri,br->bi", Jp, rows)
+            JtJ = JtJ + jnp.einsum("bri,brj->bij", Jp, Jp)
         g = i2e_grad(y, lo, hi)
-        return cost, Jtr * g, JtJ * g[..., :, None] * g[..., None, :]
+        return (cost, cost_pix, Jtr * g,
+                JtJ * g[..., :, None] * g[..., None, :])
 
     y0 = e2i(guess, lo, hi)
-    cost0, Jtr0, JtJ0 = eval_normal(y0, data)
+    cost0, cost_pix0, Jtr0, JtJ0 = eval_normal(y0, data)
 
     n0 = guess.shape[0]
     state = {
         "y": y0,
         "cost": cost0,
+        "cost_pix": cost_pix0,
         "Jtr": Jtr0,
         "JtJ": JtJ0,
         "lam": jnp.full((n0,), conf.lambda0, dtype),
@@ -412,7 +446,7 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
             dy = jnp.where(step_ok[:, None], dy, 0.0)
 
             y_try = s["y"] + dy
-            cost_try, Jtr_try, JtJ_try = eval_normal(y_try, d)
+            cost_try, cost_pix_try, Jtr_try, JtJ_try = eval_normal(y_try, d)
             cost_try = jnp.where(jnp.isfinite(cost_try), cost_try, jnp.inf)
 
             accept = step_ok & (cost_try < s["cost"])
@@ -453,6 +487,7 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
             return {
                 "y": sel(upd, y_try, s["y"]),
                 "cost": jnp.where(upd, cost_try, s["cost"]),
+                "cost_pix": jnp.where(upd, cost_pix_try, s["cost_pix"]),
                 "Jtr": sel(upd, Jtr_try, s["Jtr"]),
                 "JtJ": sel(upd, JtJ_try, s["JtJ"]),
                 "lam": jnp.where(active, new_lam, s["lam"]),
@@ -520,13 +555,14 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
         jnp.isfinite(pcov0.reshape(B, -1)), axis=-1
     )
 
+    nres = jnp.asarray(nres)
     if k_space:
         dof = nres // 2 - npars
     else:
         dof = nres - npars
-    zero_dof = dof == 0
-    dof_safe = 1 if zero_dof else dof
-    s_sq = out["cost"] / dof_safe
+    zero_dof = jnp.broadcast_to(dof == 0, (B,))
+    dof_safe = jnp.maximum(dof, 1)
+    s_sq = out["cost_pix"] / dof_safe
     pcov = pcov0 * s_sq[:, None, None]
 
     evals = jnp.linalg.eigvalsh(
@@ -547,8 +583,7 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
     flags = flags | jnp.where(
         singular & ~func_notfinite, LM_SINGULAR_MATRIX, izero
     )
-    if zero_dof:
-        flags = flags | ZERO_DOF
+    flags = flags | jnp.where(zero_dof, ZERO_DOF, izero)
     cov_bad = singular | zero_dof
     flags = flags | jnp.where(
         ~cov_bad & neg_eig & ~eig_notfinite, LM_NEG_COV_EIG, izero

@@ -1,8 +1,11 @@
 """Top-level metacal entry with noise cancellation.
 
-Behavior parity: ngmix/metacal/convenience.py:21-333, including the
-fixnoise rot90 trick: metacal a rotated pure-noise field, rotate it
-back, add to the images and combine the weights.
+Capability parity with ngmix/metacal/convenience.py:21-333: produce the
+full dict of counter-sheared observations, by default adding a
+90-degree-rotated, independently-metacal'd noise field back (rotated
+into place) so the shear-correlated noise cancels at the cost of
+sqrt(2) higher noise. Container fan-out rides the generic traversal in
+ngmix_tpu.containers rather than per-type dispatch.
 """
 import copy
 import logging
@@ -11,7 +14,8 @@ import warnings
 import numpy as np
 
 from .. import simobs
-from ..observation import MultiBandObsList, Observation, ObsList
+from ..containers import obs_map, obs_map_transpose, obs_zip_map
+from ..observation import Observation
 from .defaults import DEFAULT_STEP
 from .metacal import (
     MetacalAnalyticPSF,
@@ -30,8 +34,14 @@ def get_all_metacal(
     obs, psf=None, step=DEFAULT_STEP, fixnoise=True, rng=None,
     use_noise_image=False, types=None,
 ):
-    """get all combinations of metacal images in a dict
-    (ref: convenience.py:21-113)"""
+    """All metacal image combinations as {type: observation(s)}.
+
+    psf selects the reconvolution target: 'gauss' (default, with a
+    FutureWarning that it will become 'azgauss'), 'azgauss',
+    'fitgauss', 'dilate', or an analytic psf spec. With fixnoise
+    (default) the sheared-noise cancellation is applied.
+    Parity: ngmix/metacal/convenience.py:21-113.
+    """
     if psf is None:
         warnings.warn(
             "The default reconvolution psf will change from "
@@ -41,146 +51,94 @@ def get_all_metacal(
         )
         psf = "gauss"
 
-    if fixnoise:
-        odict = _get_all_metacal_fixnoise(
-            obs, step=step, rng=rng, use_noise_image=use_noise_image,
-            psf=psf, types=types,
-        )
-    else:
+    if not fixnoise:
         logger.debug("    not doing fixnoise")
-        odict = _get_all_metacal(obs, step=step, rng=rng, psf=psf, types=types)
+        return _metacal_images(obs, psf=psf, step=step, rng=rng, types=types)
 
-    return odict
-
-
-def _get_all_metacal(obs, step=DEFAULT_STEP, rng=None, psf=None, types=None):
-    if isinstance(obs, Observation):
-        if psf == "dilate":
-            m = MetacalDilatePSF(obs)
-        elif psf == "azgauss":
-            m = MetacalAzGaussPSF(obs=obs, rng=rng)
-        elif psf == "gauss":
-            m = MetacalGaussPSF(obs=obs, rng=rng)
-        elif psf == "fitgauss":
-            m = MetacalFitGaussPSF(obs=obs, rng=rng)
-        else:
-            m = MetacalAnalyticPSF(obs=obs, psf=psf, rng=rng)
-        odict = m.get_all(step=step, types=types)
-    elif isinstance(obs, MultiBandObsList):
-        odict = _make_metacal_mb_obs_list_dict(
-            mb_obs_list=obs, step=step, rng=rng, psf=psf, types=types
-        )
-    elif isinstance(obs, ObsList):
-        odict = _make_metacal_obs_list_dict(
-            obs, step, rng=rng, psf=psf, types=types
-        )
-    else:
-        raise ValueError(
-            "obs must be Observation, ObsList, or MultiBandObsList"
-        )
-    return odict
+    return _metacal_images_fixnoise(
+        obs, psf=psf, step=step, rng=rng,
+        use_noise_image=use_noise_image, types=types,
+    )
 
 
-def _make_metacal_mb_obs_list_dict(mb_obs_list, step, rng=None, **kw):
-    new_dict = None
-    for obs_list in mb_obs_list:
-        odict = _make_metacal_obs_list_dict(
-            obs_list=obs_list, step=step, rng=rng, **kw
-        )
-        if new_dict is None:
-            new_dict = {k: MultiBandObsList() for k in odict}
-        for key in odict:
-            new_dict[key].append(odict[key])
-    return new_dict
+def _make_engine(single_obs, psf, rng):
+    """Reconvolution-psf engine for one observation."""
+    if psf == "dilate":
+        return MetacalDilatePSF(single_obs)
+    if psf == "azgauss":
+        return MetacalAzGaussPSF(obs=single_obs, rng=rng)
+    if psf == "gauss":
+        return MetacalGaussPSF(obs=single_obs, rng=rng)
+    if psf == "fitgauss":
+        return MetacalFitGaussPSF(obs=single_obs, rng=rng)
+    return MetacalAnalyticPSF(obs=single_obs, psf=psf, rng=rng)
 
 
-def _make_metacal_obs_list_dict(obs_list, step, rng=None, **kw):
-    odict = None
-    for obs in obs_list:
-        todict = _get_all_metacal(obs, step=step, rng=rng, **kw)
-        if odict is None:
-            odict = {k: ObsList() for k in todict}
-        for key in odict:
-            odict[key].append(todict[key])
-    return odict
+def _metacal_images(obs, psf, step, rng, types):
+    """{type: container} of sheared observations, no noise fix."""
+    return obs_map_transpose(
+        obs,
+        lambda single: _make_engine(single, psf, rng).get_all(
+            step=step, types=types
+        ),
+    )
 
 
-def _get_all_metacal_fixnoise(
-    obs, step=DEFAULT_STEP, rng=None, use_noise_image=False, psf=None,
-    types=None,
-):
-    """add a sheared noise field to cancel the correlated noise
-    (ref: convenience.py:208-273)"""
+def _metacal_images_fixnoise(obs, psf, step, rng, use_noise_image, types):
+    """Sheared images plus the rot90 noise-cancellation field.
+
+    The noise field is rotated 90 degrees, pushed through the identical
+    metacal program, rotated back (three more quarter turns), and added
+    to each sheared image; weights combine as independent variances.
+    Parity: ngmix/metacal/convenience.py:208-312.
+    """
     if use_noise_image:
-        noise_obs = _replace_image_with_noise(obs)
         logger.debug("    Doing fixnoise with input noise image")
+        noise_obs = copy.deepcopy(obs)
+        obs_map(noise_obs, _swap_in_noise_image)
     else:
         noise_obs = simobs.simulate_obs(gmix=None, obs=obs, rng=rng)
 
-    # rotate by 90
-    _rotate_obs_image_square(noise_obs, k=1)
+    obs_map(noise_obs, lambda o: _rot90_image(o, k=1))
 
-    obsdict = _get_all_metacal(obs, step=step, rng=rng, psf=psf, types=types)
-    noise_obsdict = _get_all_metacal(
-        noise_obs, step=step, rng=rng, psf=psf, types=types
+    sheared = _metacal_images(obs, psf=psf, step=step, rng=rng, types=types)
+    sheared_noise = _metacal_images(
+        noise_obs, psf=psf, step=step, rng=rng, types=types
     )
 
-    for type_ in obsdict:
-        imbobs = obsdict[type_]
-        nmbobs = noise_obsdict[type_]
+    for key, noise_container in sheared_noise.items():
+        obs_map(noise_container, lambda o: _rot90_image(o, k=3))
+        obs_zip_map(sheared[key], noise_container, _add_canceling_noise)
 
-        # rotate back, which is 3 more rotations
-        _rotate_obs_image_square(nmbobs, k=3)
-
-        if isinstance(imbobs, Observation):
-            _doadd_single_obs(imbobs, nmbobs)
-        elif isinstance(imbobs, ObsList):
-            for iobs in range(len(imbobs)):
-                _doadd_single_obs(imbobs[iobs], nmbobs[iobs])
-        elif isinstance(imbobs, MultiBandObsList):
-            for imb in range(len(imbobs)):
-                iolist = imbobs[imb]
-                nolist = nmbobs[imb]
-                for iobs in range(len(iolist)):
-                    _doadd_single_obs(iolist[iobs], nolist[iobs])
-
-    return obsdict
+    return sheared
 
 
-def _rotate_obs_image_square(obs, k=1):
-    if isinstance(obs, Observation):
-        obs.set_image(np.rot90(obs.image, k=k))
-    elif isinstance(obs, ObsList):
-        for tobs in obs:
-            _rotate_obs_image_square(tobs, k=k)
-    elif isinstance(obs, MultiBandObsList):
-        for obslist in obs:
-            _rotate_obs_image_square(obslist, k=k)
+def _swap_in_noise_image(single_obs):
+    single_obs.image = single_obs.noise
 
 
-def _doadd_single_obs(obs, nobs):
-    obs.image_orig = obs.image.copy()
-    obs.weight_orig = obs.weight.copy()
-
-    with obs.writeable():
-        obs.image += nobs.image
-
-        wpos = np.where((obs.weight != 0.0) & (nobs.weight != 0.0))
-        if wpos[0].size > 0:
-            tvar = obs.weight * 0
-            tvar[wpos] = 1.0 / obs.weight[wpos] + 1.0 / nobs.weight[wpos]
-            obs.weight[wpos] = 1.0 / tvar[wpos]
+def _rot90_image(single_obs, k):
+    single_obs.set_image(np.rot90(single_obs.image, k=k))
 
 
-def _replace_image_with_noise(obs):
-    noise_obs = copy.deepcopy(obs)
-    if isinstance(noise_obs, Observation):
-        noise_obs.image = noise_obs.noise
-    elif isinstance(noise_obs, ObsList):
-        for nobs in noise_obs:
-            nobs.image = nobs.noise
-    else:
-        for obslist in noise_obs:
-            for nobs in obslist:
-                nobs.image = nobs.noise
-    return noise_obs
+def _add_canceling_noise(single_obs, noise_obs):
+    """image += metacal'd noise; weight = 1/(var + var_noise).
+
+    Stashes the pre-addition image/weight as image_orig/weight_orig.
+    Pixels where either weight is zero keep the original weight.
+    """
+    assert isinstance(single_obs, Observation)
+    single_obs.image_orig = single_obs.image.copy()
+    single_obs.weight_orig = single_obs.weight.copy()
+
+    both_valid = (single_obs.weight != 0.0) & (noise_obs.weight != 0.0)
+    combined_var = np.zeros_like(single_obs.weight)
+    np.divide(1.0, single_obs.weight, out=combined_var, where=both_valid)
+    combined_var += np.divide(
+        1.0, noise_obs.weight,
+        out=np.zeros_like(combined_var), where=both_valid,
+    )
+
+    with single_obs.writeable():
+        single_obs.image += noise_obs.image
+        single_obs.weight[both_valid] = 1.0 / combined_var[both_valid]

@@ -169,3 +169,64 @@ def test_batch_pipeline_dev_lm_smoke():
     sr = shear_response(res)
     # metacal calibrates even a misspecified model
     assert abs(float(sr["shear"][0]) / 0.02 - 1) < 3e-3
+
+
+def test_batch_pipeline_lm_prior_bounds():
+    """the batched LM measure accepts a joint prior + bounds and still
+    recovers the shear; the prior pulls flagged-free fits"""
+    from ngmix_tpu.priors import CenPrior, FlatPrior, GPriorBA
+    from ngmix_tpu.joint_prior import PriorSimpleSep
+
+    rng = np.random.RandomState(3)
+    args = _sim_batch(rng, 16)
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+    )
+    prior = PriorSimpleSep(
+        cen_prior=CenPrior(0.0, 0.0, SCALE, SCALE, rng=rng),
+        g_prior=GPriorBA(0.3, rng=rng),
+        T_prior=FlatPrior(0.01, 10.0, rng=rng),
+        F_prior=FlatPrior(1e-4, 1e9, rng=rng),
+    )
+    lo = jnp.asarray([-1.0, -1.0, -0.99, -0.99, 0.01, 1e-4])
+    hi = jnp.asarray([1.0, 1.0, 0.99, 0.99, 10.0, 1e9])
+    res = metacal_pipeline(
+        *args, conf, measure="exp-lm", lm_prior=prior, lm_bounds=(lo, hi)
+    )
+    sr = shear_response(res)
+    assert int(np.sum(np.asarray(res["noshear"]["flags"]) != 0)) == 0
+    pars = np.asarray(res["noshear"]["pars"])
+    assert np.all(pars >= np.asarray(lo)[None, :] - 1e-10)
+    assert np.all(pars <= np.asarray(hi)[None, :] + 1e-10)
+    # low noise: shear recovery still at the few-1e-3 level despite the
+    # (mildly informative) priors
+    assert abs(float(sr["shear"][0]) / 0.02 - 1) < 5e-3
+    assert int(sr["n_used"]) == 16
+
+
+def test_shear_response_empty_selection_guarded():
+    """an all-flagged batch yields finite calibration stats and
+    n_used=0 instead of silent nan"""
+    from ngmix_tpu.batch import shear_response_select
+
+    B = 8
+    results = {}
+    for t in ("noshear", "1p", "1m", "2p", "2m"):
+        results[t] = {
+            "flags": jnp.ones(B, jnp.int32),
+            "e1": jnp.full(B, 0.1),
+            "e2": jnp.full(B, -0.1),
+            "s2n": jnp.full(B, 10.0),
+        }
+    sr = shear_response(results)
+    assert int(sr["n_used"]) == 0
+    assert np.all(np.isfinite(np.asarray(sr["e_mean"])))
+    assert np.all(np.isfinite(np.asarray(sr["R"])))
+
+    srs = shear_response_select(
+        results, lambda r: r["s2n"] > 5.0
+    )
+    assert int(srs["n_used"]) == 0
+    assert np.all(np.isfinite(np.asarray(srs["e_mean"])))
+    assert np.all(np.isfinite(np.asarray(srs["R"])))

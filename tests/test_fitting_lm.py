@@ -268,3 +268,104 @@ def test_ad_jacobian_vs_finite_difference():
         assert np.allclose(
             jac_ad[:, i], jac_fd[:, i], atol=3e-5 * scale[i], rtol=1e-4
         ), "par %d" % i
+
+
+def test_normal_batched_prior_bounds_match_run_lm():
+    """the batched normal-equation driver with prior_fn + bounds solves
+    the same objective as run_lm with prior rows at the residual head"""
+    from ngmix_tpu.fitting.lm import run_lm_normal_batched
+
+    rng = np.random.RandomState(7)
+    B, npars, nrows = 4, 3, 20
+    A = jnp.asarray(rng.normal(size=(nrows, npars)))
+    x_true = jnp.asarray([0.8, -0.4, 0.3])
+    sigma = 0.05
+    ys = jnp.asarray(
+        np.asarray(A @ x_true)[None, :]
+        + rng.normal(size=(B, nrows)) * sigma
+    )
+    mu = jnp.asarray([0.5, -0.5, 0.5])
+    sig_p = jnp.asarray([0.3, 0.3, 0.3])
+    lo = jnp.asarray([-1.0, -1.0, -jnp.inf])
+    hi = jnp.asarray([1.0, jnp.inf, 1.0])
+    guess = jnp.zeros((B, npars)) + 0.1
+    conf = LMConf()
+
+    def prior_rows(pars):
+        return (pars - mu) / sig_p
+
+    # reference path: prior rows at the head of the residual vector
+    def resid(pars, data):
+        pix = (A @ pars - data) / sigma
+        return jnp.concatenate([prior_rows(pars), pix])
+
+    singles = [
+        run_lm(resid, ys[i], guess[i], lo, hi, conf, n_prior_pars=npars)
+        for i in range(B)
+    ]
+
+    # batched path: pixel rows through normal_fn, prior via prior_fn
+    def normal_fn(pars, data):
+        def one(p, y):
+            r = (A @ p - y) / sigma
+            J = A / sigma
+            return jnp.sum(r * r), J.T @ r, J.T @ J
+
+        return jax.vmap(one)(pars, data)
+
+    out = run_lm_normal_batched(
+        normal_fn, ys, guess, lo, hi, conf, nres=nrows,
+        prior_fn=prior_rows,
+    )
+
+    for i in range(B):
+        assert int(out["flags"][i]) == 0
+        assert int(singles[i]["flags"]) == 0
+        assert np.allclose(
+            np.asarray(out["pars"][i]), np.asarray(singles[i]["pars"]),
+            atol=1e-9,
+        ), i
+        # identical chi2/dof scale: dof excludes prior rows in both
+        assert np.allclose(
+            np.asarray(out["s_sq"][i]),
+            np.asarray(
+                jnp.sum(((A @ out["pars"][i] - ys[i]) / sigma) ** 2)
+                / (nrows - npars)
+            ),
+            rtol=1e-8,
+        )
+        assert np.allclose(
+            np.asarray(out["pars_err"][i]),
+            np.asarray(singles[i]["pars_err"]), rtol=1e-6,
+        )
+        # the prior pulled the solution toward mu and bounds hold
+        assert np.all(np.asarray(out["pars"][i]) >= np.asarray(lo) - 1e-12)
+        assert np.all(np.asarray(out["pars"][i]) <= np.asarray(hi) + 1e-12)
+
+
+def test_lm_dof_counts_only_unmasked_rows():
+    """masked (zero) residual rows must not dilute the chi2/dof scale"""
+    rng = np.random.RandomState(11)
+    npars, nlive, nmask = 2, 30, 20
+    A = jnp.asarray(rng.normal(size=(nlive, npars)))
+    x_true = jnp.asarray([1.0, -0.5])
+    sigma = 0.1
+    y = A @ x_true + jnp.asarray(rng.normal(size=nlive)) * sigma
+
+    def resid(pars, data):
+        live = (A @ pars - data) / sigma
+        return jnp.concatenate([live, jnp.zeros(nmask)])
+
+    conf = LMConf()
+    inf = jnp.full(npars, jnp.inf)
+    out_naive = run_lm(resid, y, jnp.zeros(npars), -inf, inf, conf)
+    out_eff = run_lm(
+        resid, y, jnp.zeros(npars), -inf, inf, conf, n_eff=nlive
+    )
+    # same solution, correctly-scaled errors
+    assert np.allclose(
+        np.asarray(out_eff["pars"]), np.asarray(out_naive["pars"])
+    )
+    ratio = float(out_naive["s_sq"] / out_eff["s_sq"])
+    expected = (nlive - npars) / (nlive + nmask - npars)
+    assert np.allclose(ratio, expected, rtol=1e-10)
