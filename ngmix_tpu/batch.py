@@ -47,14 +47,37 @@ def _host_jacobian(conf, row0=0.0, col0=0.0):
     )
 
 
+GALSHEAR_TYPES = ("noshear", "1p", "1m", "2p", "2m")
+PSFSHEAR_TYPES = ("1p_psf", "1m_psf", "2p_psf", "2m_psf")
+
+
 def _type_shear(type_, step):
+    """(g1, g2) applied by this metacal type (to the galaxy for the
+    galshear types, to the target psf for the *_psf types)"""
+    base = type_[:-4] if type_.endswith("_psf") else type_
     return {
         "noshear": (0.0, 0.0),
         "1p": (step, 0.0),
         "1m": (-step, 0.0),
         "2p": (0.0, step),
         "2m": (0.0, -step),
-    }[type_]
+    }[base]
+
+
+def _check_types(conf):
+    for t in conf.types:
+        if t in GALSHEAR_TYPES:
+            continue
+        if t in PSFSHEAR_TYPES:
+            if conf.psf_mode != "dilate":
+                # parity: the reference's round-gaussian targets refuse
+                # psf shearing too (metacal.py:660 'no shearing gauss psf')
+                raise ValueError(
+                    "psf-sheared metacal types need psf_mode='dilate', "
+                    "got %r" % (conf.psf_mode,)
+                )
+            continue
+        raise ValueError("bad metacal type: %s" % t)
 
 
 def prepare_psf_kdata(psf_images, psf_cens, conf: MetacalConfig):
@@ -69,7 +92,14 @@ def prepare_psf_kdata(psf_images, psf_cens, conf: MetacalConfig):
     psfhat_n = psfhat / psf_flux
     pix = kops.pixel_kresponse(N, dtype=psf_images.dtype)
     ksq = kops.sky_ksq(N, jac, dtype=psf_images.dtype)
-    if conf.psf_mode == "azgauss":
+    psfhat_nopix = None
+    if conf.psf_mode == "dilate":
+        # the target is the dilated original psf: keep its pixel-free
+        # k transform for the per-type remaps. sigma (from k-power
+        # pinning) is still derived for reporting / guess scales.
+        psfhat_nopix = psfhat_n / jnp.where(jnp.abs(pix) > 1e-8, pix, 1e-8)
+        sigma = kops.gauss_target_sigma(psfhat_n, ksq)
+    elif conf.psf_mode == "azgauss":
         sigma = jax.vmap(
             lambda ph: kops.azgauss_target_sigma(ph, ksq, nbin=N)
         )(psfhat)
@@ -84,16 +114,17 @@ def prepare_psf_kdata(psf_images, psf_cens, conf: MetacalConfig):
         )
     else:
         sigma = kops.gauss_target_sigma(psfhat, ksq)
-    return dict(N=N, psfhat_n=psfhat_n, pix=pix, ksq=ksq, sigma=sigma)
+    return dict(
+        N=N, psfhat_n=psfhat_n, pix=pix, ksq=ksq, sigma=sigma,
+        psfhat_nopix=psfhat_nopix,
+    )
 
 
-def _fitgauss_target_sigma_batch(psf_images, psf_cens, conf):
-    """round target sigma from a batched adaptive-moments gaussian fit
-    of each psf stamp with the ellipticity-driven dilation (the device
-    equivalent of metacal/fitgauss_target_psf.py get_fitgauss_target_T;
-    NaN where the fit failed so the caller can substitute)."""
+def _admom_gauss_fit_batch(psf_images, psf_cens, conf):
+    """batched adaptive-moments gaussian fit of psf stamps; returns the
+    admom result dict (e1/e2/T/flags...)"""
     from .admom import AdmomConf, admom_batch
-    from .moments import e2mom, fwhm_to_T
+    from .moments import fwhm_to_T
 
     B = psf_images.shape[0]
     dtype = psf_images.dtype
@@ -109,7 +140,48 @@ def _fitgauss_target_sigma_batch(psf_images, psf_cens, conf):
     wt0 = wt0.at[:, 0].set(1.0)
     wt0 = wt0.at[:, 3].set(Tg / 2).at[:, 5].set(Tg / 2)
     area = jnp.full((B,), scale**2, dtype)
-    res = admom_batch(pixels, wt0, area, AdmomConf())
+    return admom_batch(pixels, wt0, area, AdmomConf())
+
+
+def _psf_moms_from_stamps(psf_images, conf, fallback_sigma):
+    """per-stamp (irr, irc, icc) [B, 3] gaussian moments of rendered
+    target-psf stamps via batched admom, with a round fallback where
+    the fit failed. Used by the LM measures under psf_mode='dilate',
+    where the reconvolution target is the dilated original psf rather
+    than an analytic gaussian (the measurement psf model is then the
+    gaussian fit of that target, as in typical reference configs that
+    refit the metacal psf with a gauss model)."""
+    from .moments import e2mom
+
+    B = psf_images.shape[0]
+    dtype = psf_images.dtype
+    Hp, Wp = conf.psf_dims
+    pcens = jnp.broadcast_to(
+        jnp.asarray([(Hp - 1) / 2.0, (Wp - 1) / 2.0], dtype), (B, 2)
+    )
+    res = _admom_gauss_fit_batch(psf_images, pcens, conf)
+    T_safe = jnp.where(res["T"] > 0, res["T"], 1.0)
+    irr, irc, icc = e2mom(res["e1"], res["e2"], T_safe)
+    ok = (res["flags"] == 0) & (res["T"] > 0)
+    rnd = fallback_sigma**2
+    return jnp.stack(
+        [
+            jnp.where(ok, irr, rnd),
+            jnp.where(ok, irc, 0.0),
+            jnp.where(ok, icc, rnd),
+        ],
+        axis=-1,
+    )
+
+
+def _fitgauss_target_sigma_batch(psf_images, psf_cens, conf):
+    """round target sigma from a batched adaptive-moments gaussian fit
+    of each psf stamp with the ellipticity-driven dilation (the device
+    equivalent of metacal/fitgauss_target_psf.py get_fitgauss_target_T;
+    NaN where the fit failed so the caller can substitute)."""
+    from .moments import e2mom
+
+    res = _admom_gauss_fit_batch(psf_images, psf_cens, conf)
 
     e1, e2, T = res["e1"], res["e2"], res["T"]
     T_safe = jnp.where(T > 0, T, 1.0)
@@ -126,7 +198,8 @@ def _fitgauss_target_sigma_batch(psf_images, psf_cens, conf):
 
 
 def metacal_image_set(images, cens, psf_images, psf_cens,
-                      conf: MetacalConfig, psfdata=None):
+                      conf: MetacalConfig, psfdata=None,
+                      with_psf_images=False):
     """produce the metacal image set for a batch.
 
     images [B, H, W]; cens [B, 2]; psf_images [B, Hp, Wp];
@@ -134,7 +207,19 @@ def metacal_image_set(images, cens, psf_images, psf_cens,
     target_sigma [B] of the *undilated* round target psf). Pass a
     precomputed ``psfdata`` (prepare_psf_kdata) to share the psf FFTs
     and target derivation across pipelines (fixnoise).
+
+    Types: the 5 galshear types shear the deconvolved galaxy before
+    reconvolving with the (round, dilated) target; the four *_psf
+    types (psf_mode='dilate' only) reconvolve the UNSHEARED galaxy
+    with the sheared dilated original psf - the counterfactual images
+    behind the psf-leakage response R_psf
+    (ref: ngmix/metacal/metacal.py:118-248).
+
+    with_psf_images: also return {type: [B, Hp, Wp]} rendered target
+    psf stamps (centered at the stamp center), for measures that need
+    the psf model when the target is not an analytic gaussian.
     """
+    _check_types(conf)
     if psfdata is None:
         psfdata = prepare_psf_kdata(psf_images, psf_cens, conf)
     N = psfdata["N"]
@@ -147,19 +232,50 @@ def metacal_image_set(images, cens, psf_images, psf_cens,
     sigma = psfdata["sigma"]
 
     dilation = 1.0 + 2.0 * conf.step
-    sig_d = sigma * dilation
-    ghat = jnp.exp(-0.5 * (sig_d[:, None, None] ** 2) * ksq) * pix
+    if conf.psf_mode == "dilate":
+        # dilated original psf (evaluate the pixel-free psf transform
+        # at d*k, exactly), shared by all galshear types
+        ghat = kops.remap_k(
+            psfdata["psfhat_nopix"], np.eye(2) * dilation
+        ) * pix
+    else:
+        sig_d = sigma * dilation
+        ghat = jnp.exp(-0.5 * (sig_d[:, None, None] ** 2) * ksq) * pix
 
     out = {}
+    psf_out = {}
+    B = images.shape[0]
     for type_ in conf.types:
         g1, g2 = _type_shear(type_, conf.step)
-        if type_ == "noshear":
+        ghat_t = ghat
+        if type_ in PSFSHEAR_TYPES:
+            # sheared dilated psf target; galaxy stays unsheared
+            S = kops.shear_matrix(g1, g2)
+            M = kops.kmap_matrix(jac, S) @ (np.eye(2) * dilation)
+            ghat_t = kops.remap_k(psfdata["psfhat_nopix"], M) * pix
+            sheared = objhat
+        elif type_ == "noshear":
             sheared = objhat
         else:
             S = kops.shear_matrix(g1, g2)
             M = kops.kmap_matrix(jac, S)
             sheared = kops.remap_k(objhat, M)
-        out[type_] = _batched_centered_ifft(sheared * ghat, cens, conf.dims)
+        out[type_] = _batched_centered_ifft(
+            sheared * ghat_t, cens, conf.dims
+        )
+        if with_psf_images:
+            Hp, Wp = conf.psf_dims
+            pcen = jnp.broadcast_to(
+                jnp.asarray(
+                    [(Hp - 1) / 2.0, (Wp - 1) / 2.0], images.dtype
+                ),
+                (B, 2),
+            )
+            psf_out[type_] = _batched_centered_ifft(
+                ghat_t, pcen, conf.psf_dims
+            )
+    if with_psf_images:
+        return out, sigma, psf_out
     return out, sigma
 
 
@@ -219,9 +335,22 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
     dict of batched arrays.
     """
     psfdata = prepare_psf_kdata(psf_images, psf_cens, conf)
-    odict, sigma = metacal_image_set(
-        images, cens, psf_images, psf_cens, conf, psfdata=psfdata
+    # under psf_mode='dilate' the target psf is not an analytic
+    # gaussian, so psf-model-consuming measures get the rendered
+    # per-type target stamps
+    need_psf_stamps = conf.psf_mode == "dilate" and (
+        measure.endswith("-lm") or measure in ("pgauss", "ksigma")
     )
+    if need_psf_stamps:
+        odict, sigma, psfdict = metacal_image_set(
+            images, cens, psf_images, psf_cens, conf, psfdata=psfdata,
+            with_psf_images=True,
+        )
+    else:
+        odict, sigma = metacal_image_set(
+            images, cens, psf_images, psf_cens, conf, psfdata=psfdata
+        )
+        psfdict = None
 
     if conf.fixnoise:
         # rotate the noise field by 90 deg, metacal it, rotate back and
@@ -286,18 +415,22 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
         kernel = "gauss" if measure == "pgauss" else "ksigma"
         Hp, Wp = conf.psf_dims
         dtype = ims_full.dtype
-        pr = jnp.arange(Hp, dtype=dtype) - (Hp - 1) / 2.0
-        pc = jnp.arange(Wp, dtype=dtype) - (Wp - 1) / 2.0
-        prr, pcc = jnp.meshgrid(pr, pc, indexing="ij")
-        dvdrow, dvdcol, dudrow, dudcol = conf.jac
-        pv = (dvdrow * prr + dvdcol * pcc).reshape(-1)[None, :]
-        pu = (dudrow * prr + dudcol * pcc).reshape(-1)[None, :]
-        pg = jnp.zeros((B, 1, 6), dtype)
-        pg = pg.at[:, 0, 0].set(1.0)
-        pg = pg.at[:, 0, 3].set(sig_d**2).at[:, 0, 5].set(sig_d**2)
-        pimg = gcore.eval_gmix(pg, pv, pu, area, fast=False)
-        pimg = pimg.reshape(B, Hp, Wp)
-        pimgs_t = jnp.tile(pimg, (len(types), 1, 1))
+        if psfdict is not None:
+            # dilate mode: deconvolve the rendered per-type target psf
+            pimgs_t = jnp.concatenate([psfdict[t] for t in types], axis=0)
+        else:
+            pr = jnp.arange(Hp, dtype=dtype) - (Hp - 1) / 2.0
+            pc = jnp.arange(Wp, dtype=dtype) - (Wp - 1) / 2.0
+            prr, pcc = jnp.meshgrid(pr, pc, indexing="ij")
+            dvdrow, dvdcol, dudrow, dudcol = conf.jac
+            pv = (dvdrow * prr + dvdcol * pcc).reshape(-1)[None, :]
+            pu = (dudrow * prr + dudcol * pcc).reshape(-1)[None, :]
+            pg = jnp.zeros((B, 1, 6), dtype)
+            pg = pg.at[:, 0, 0].set(1.0)
+            pg = pg.at[:, 0, 3].set(sig_d**2).at[:, 0, 5].set(sig_d**2)
+            pimg = gcore.eval_gmix(pg, pv, pu, area, fast=False)
+            pimg = pimg.reshape(B, Hp, Wp)
+            pimgs_t = jnp.tile(pimg, (len(types), 1, 1))
         pcen = jnp.asarray([(Hp - 1) / 2.0, (Wp - 1) / 2.0], dtype)
         pcens_t = jnp.broadcast_to(pcen, (len(types) * B, 2))
         wt_safe = jnp.where(wt_full > 0, wt_full, jnp.inf)
@@ -308,9 +441,24 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
             jac_tuple=conf.jac, fwhm=measure_fwhm,
         )
     elif measure.endswith("-lm") and measure[:-3] in _MODEL_FILLS:
-        sig_all = jnp.tile(sig_d, len(types))
+        if psfdict is not None:
+            # dilate mode: per-type gaussian fit of the rendered target
+            psf_moms_all = jnp.concatenate(
+                [
+                    _psf_moms_from_stamps(psfdict[t], conf, sig_d)
+                    for t in types
+                ],
+                axis=0,
+            )
+        else:
+            psf_moms_all = jnp.tile(
+                jnp.stack(
+                    [sig_d**2, jnp.zeros_like(sig_d), sig_d**2], axis=-1
+                ),
+                (len(types), 1),
+            )
         res_all = _exp_lm_measure(
-            pixels, sig_all, lm_conf or LMConf(), model=measure[:-3],
+            pixels, psf_moms_all, lm_conf or LMConf(), model=measure[:-3],
             prior=lm_prior, bounds=lm_bounds,
         )
     else:
@@ -458,10 +606,21 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
     bounded+prior-regularized; ngmix/fitting/results.py:439-485)."""
     B = pixels.val.shape[0]
     dtype = pixels.val.dtype
+    # psf_sigma: [B] round sigma, or [B, 3] full (irr, irc, icc)
+    # moments (psf-sheared types / dilate-mode gaussian psf fits)
+    psf_sigma = jnp.asarray(psf_sigma, dtype)
+    if psf_sigma.ndim == 2:
+        p_irr = psf_sigma[:, 0]
+        p_irc = psf_sigma[:, 1]
+        p_icc = psf_sigma[:, 2]
+    else:
+        p_irr = p_icc = psf_sigma**2
+        p_irc = jnp.zeros_like(p_irr)
     psf_gmix = jnp.zeros((B, 1, 6), dtype)
     psf_gmix = psf_gmix.at[:, 0, 0].set(1.0)
-    psf_gmix = psf_gmix.at[:, 0, 3].set(psf_sigma**2)
-    psf_gmix = psf_gmix.at[:, 0, 5].set(psf_sigma**2)
+    psf_gmix = psf_gmix.at[:, 0, 3].set(p_irr)
+    psf_gmix = psf_gmix.at[:, 0, 4].set(p_irc)
+    psf_gmix = psf_gmix.at[:, 0, 5].set(p_icc)
 
     # moments-based starting guesses
     from .moments import fwhm_to_T
@@ -483,7 +642,7 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
     # deweight the measured size and remove the psf
     Tmeas = jnp.clip(mt, 0.05, None)
     Tdew = 1.0 / jnp.clip(1.0 / Tmeas - 1.0 / Tw, 0.05, None)
-    Tpsf = 2 * psf_sigma**2
+    Tpsf = p_irr + p_icc
     Tguess = jnp.clip(Tdew - Tpsf, 0.05, None)
 
     wsum = jnp.sum(pixels.val * (pixels.ierr > 0), axis=-1)
@@ -590,6 +749,27 @@ def shear_response(results, step=DEFAULT_STEP):
     R = jnp.array([[R11, R12], [R21, R22]])
     shear = jnp.linalg.solve(R, e_ns)
     return {"e_mean": e_ns, "R": R, "shear": shear, "n_used": n_used}
+
+
+def psf_shear_response(results, step=DEFAULT_STEP):
+    """psf-leakage response R_psf from the *_psf metacal types.
+
+    R_psf[i, j] = d<e_i>/d g_psf_j, estimated from the counterfactual
+    sheared-psf images (1p_psf..2m_psf; requires psf_mode='dilate').
+    Users correct the mean shape as <e> - R_psf g_psf (the reference
+    exposes the same types through MetacalDilatePSF.get_all,
+    metacal/metacal.py:118-248).
+    """
+    def mean_e(t):
+        ok = results[t]["flags"] == 0
+        n = jnp.maximum(jnp.sum(ok), 1)
+        e1 = jnp.sum(jnp.where(ok, results[t]["e1"], 0.0)) / n
+        e2 = jnp.sum(jnp.where(ok, results[t]["e2"], 0.0)) / n
+        return jnp.stack([e1, e2])
+
+    d1 = (mean_e("1p_psf") - mean_e("1m_psf")) / (2 * step)
+    d2 = (mean_e("2p_psf") - mean_e("2m_psf")) / (2 * step)
+    return jnp.stack([d1, d2], axis=-1)  # [i, j] = de_i / dgpsf_j
 
 
 def shear_response_select(results, select_fn, step=DEFAULT_STEP):

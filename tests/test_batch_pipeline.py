@@ -230,3 +230,63 @@ def test_shear_response_empty_selection_guarded():
     assert int(srs["n_used"]) == 0
     assert np.all(np.isfinite(np.asarray(srs["e_mean"])))
     assert np.all(np.isfinite(np.asarray(srs["R"])))
+
+
+def test_batch_pipeline_psf_sheared_types_dilate():
+    """psf_mode='dilate' supports the full 9-type set: shear recovery
+    holds with a round psf, and R_psf is finite with an elliptical one"""
+    import pytest
+    from ngmix_tpu.batch import psf_shear_response
+
+    rng = np.random.RandomState(21)
+    types9 = (
+        "noshear", "1p", "1m", "2p", "2m",
+        "1p_psf", "1m_psf", "2p_psf", "2m_psf",
+    )
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2, psf_mode="dilate", types=types9,
+    )
+
+    # round psf: no leakage; both a psf-free measure and the LM measure
+    # (whose psf model is the admom fit of the dilated target) recover
+    # the shear
+    args_round = _sim_batch(rng, 16, psf_g=(0.0, 0.0))
+    for measure in ("gaussmom", "exp-lm"):
+        res = metacal_pipeline(*args_round, conf, measure=measure)
+        sr = shear_response(res)
+        m = float(sr["shear"][0]) / 0.02 - 1
+        assert abs(m) < 3e-3, (measure, m)
+        Rp = np.asarray(psf_shear_response(res))
+        assert np.all(np.isfinite(Rp))
+
+    # elliptical psf: the counterfactual sheared-psf images give a
+    # finite, diagonal-dominated positive leakage response
+    args_ell = _sim_batch(rng, 16, psf_g=(0.02, -0.01))
+    res = metacal_pipeline(*args_ell, conf, measure="gaussmom")
+    Rp = np.asarray(psf_shear_response(res))
+    assert np.all(np.isfinite(Rp))
+    assert Rp[0, 0] > 0.02 and Rp[1, 1] > 0.02
+    assert abs(Rp[0, 1]) < 0.5 * Rp[0, 0]
+    assert abs(Rp[1, 0]) < 0.5 * Rp[1, 1]
+
+    # round-gaussian targets refuse psf shearing (reference parity)
+    conf_bad = conf._replace(psf_mode="gauss")
+    with pytest.raises(ValueError):
+        metacal_pipeline(*args_ell, conf_bad, measure="gaussmom")
+
+
+def test_batch_pipeline_dilate_five_types():
+    """the 5-type set also runs under psf_mode='dilate' (pre-psf
+    moments deconvolve the rendered dilated-psf stamps)"""
+    rng = np.random.RandomState(9)
+    args = _sim_batch(rng, 16, psf_g=(0.0, 0.0))
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2, psf_mode="dilate",
+    )
+    res = metacal_pipeline(*args, conf, measure="pgauss")
+    sr = shear_response(res)
+    m = float(sr["shear"][0]) / 0.02 - 1
+    assert abs(m) < 3e-3, m
+    assert int(np.sum(np.asarray(res["noshear"]["flags"]) != 0)) == 0
