@@ -841,11 +841,16 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
     """metacal + multi-band multi-epoch exp LM fits.
 
     images [B, E, H, W] with E epochs per object spanning ``nband``
-    bands (band [E] gives each epoch's band); weights/cens/psf data
-    follow. Each epoch's metacal image set is built independently (the
-    epoch axis folds into the batch axis for the k-space engine); the
-    measurement is a single vmapped multi-band LM fit per type with
-    npars = 5 + nband.
+    bands (band [E], or [B, E] when epoch->band assignment varies per
+    object); weights/cens/psf data follow. Each epoch's metacal image
+    set is built independently (the epoch axis folds into the batch
+    axis for the k-space engine); the measurement is a single vmapped
+    multi-band LM fit per type with npars = 5 + nband.
+
+    Ragged epoch counts are handled by masking: pad epochs carry zero
+    weight (ierr=0 -> zero residual rows and zero normal-equation
+    contributions) and a copied valid psf stamp so the k-space engine
+    stays finite; see ngmix_tpu.ragged for the packing utility.
     """
     from .fitting.fit_model import FitData, make_fdiff_fn
 
@@ -904,10 +909,15 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
         conf_fit = conf._replace(dims=(fh, fw))
     pixels = make_pixels_batch(ims_st, wt_st, cens_st, conf_fit)
     pixels = jax.tree.map(lambda x: x.reshape(T * B, E, -1), pixels)
+    band = jnp.asarray(band, jnp.int32)
+    if band.ndim == 1:
+        band_be = jnp.broadcast_to(band, (B, E))
+    else:
+        band_be = band
     data = FitData(
         pixels=pixels,
         psf_gmix=jnp.tile(psf_gmix, (T, 1, 1, 1)),
-        band=jnp.broadcast_to(band, (T * B, E)).astype(jnp.int32),
+        band=jnp.tile(band_be, (T, 1)),
     )
 
     wsum = jnp.sum(

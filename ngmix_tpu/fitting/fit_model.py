@@ -137,7 +137,8 @@ def pack_fit_data(obs, model=None):
     """host: stack a MultiBandObsList's epochs into a FitData pytree.
 
     All epochs must share a stamp shape (the reference has no such
-    constraint; size bucketing across objects lives in ngmix_tpu.batch).
+    constraint; for mixed sizes use the bucketing utilities in
+    ngmix_tpu.ragged).
     """
     import jax
 
