@@ -542,23 +542,129 @@ class KSpaceMoffatFitter(KSpaceFitter):
         )
 
 
+class _TemplateFluxFitModel(PSFFluxFitModel):
+    """template flux against precomputed (model x psf) template images.
+
+    Shares the two-pass cross-correlation of PSFFluxFitModel but takes
+    the templates directly (the analytic-model path of the reference's
+    GalsimPSFFitModel, galsim_results.py:508-654).
+    """
+
+    def __init__(self, obs, templates):
+        from ..observation import Observation, ObsList
+
+        self.do_psf = False
+        self.normalize_psf = True
+        self["model"] = "template"
+        self.npars = 1
+        if isinstance(obs, Observation):
+            obs_list = ObsList()
+            obs_list.append(obs)
+        else:
+            obs_list = obs
+        self.obs = obs_list
+        self.use_template = True
+        self.template_list = [
+            np.asarray(t) / np.asarray(t).sum() for t in templates
+        ]
+        self.norm_list = [1.0] * len(self.template_list)
+        self.totpix = sum(o.pixels.val.shape[-1] for o in self.obs)
+
+
 class KSpacePSFFluxFitter(object):
     """psf/template flux via cross correlation (the reference's
-    GalsimPSFFluxFitter; our templates are the psf images themselves
-    rather than galsim re-draws)"""
+    GalsimPSFFluxFitter, galsim_fitters.py:123-156).
 
-    def __init__(self, model=None, draw_method="auto", interp="lanczos15"):
-        del draw_method, interp
-        if model is not None:
-            raise NotImplementedError(
-                "analytic-model template fluxes are not implemented; "
-                "use PSFFluxFitter semantics with the psf image template"
+    model=None measures a psf flux against the psf image itself. An
+    analytic template is requested with a spec dict, e.g.
+    {"model": "exp", "r50": 0.5} (optional g1/g2, nu for spergel,
+    beta + fwhm for moffat): the template image is built on-device as
+    ifft(model_khat(k_sky) * psfhat), replacing the reference's galsim
+    Convolve(model, InterpolatedImage(psf)).drawImage.
+    """
+
+    def __init__(self, model=None, draw_method="auto", interp="lanczos15",
+                 pad_factor=4):
+        del draw_method, interp  # galsim knobs; the k ops are exact
+        if model is not None and not (
+            isinstance(model, dict) and "model" in model
+        ):
+            raise ValueError(
+                "model must be None or a spec dict like "
+                "{'model': 'exp', 'r50': 0.5}"
             )
+        self.model = model
+        self.pad_factor = pad_factor
 
     def go(self, obs):
-        fit_model = PSFFluxFitModel(obs=obs, do_psf=True, normalize_psf=True)
+        from ..observation import Observation, ObsList
+
+        if isinstance(obs, Observation):
+            obs_list = ObsList()
+            obs_list.append(obs)
+        else:
+            obs_list = obs
+        templates = [self._make_template(o) for o in obs_list]
+        fit_model = _TemplateFluxFitModel(
+            obs=obs_list, templates=templates
+        )
         fit_model.go()
         return fit_model
+
+    def _make_template(self, obs):
+        """unit-flux model convolved with the epoch's pixelized psf
+        (model=None: the psf itself), rendered at the observation's
+        jacobian center on the observation grid"""
+        from ..metacal import kops
+
+        spec = self.model
+        name = None if spec is None else spec["model"]
+        if name is None:
+            band_pars = None
+            model_fn = None
+            size_type = None
+        elif name == "moffat":
+            size_type = "fwhm" if "fwhm" in spec else "r50"
+            size = spec.get("fwhm", spec.get("r50"))
+            band_pars = jnp.asarray([
+                0.0, 0.0, spec.get("g1", 0.0), spec.get("g2", 0.0),
+                size, spec["beta"], 1.0,
+            ])
+        elif name == "spergel":
+            size_type = "r50"
+            band_pars = jnp.asarray([
+                0.0, 0.0, spec.get("g1", 0.0), spec.get("g2", 0.0),
+                spec["r50"], spec["nu"], 1.0,
+            ])
+        else:
+            size_type = "r50"
+            band_pars = jnp.asarray([
+                0.0, 0.0, spec.get("g1", 0.0), spec.get("g2", 0.0),
+                spec["r50"], 1.0,
+            ])
+        if name is not None:
+            model_fn = make_kspace_model_fn(name, size_type=size_type)
+
+        psf_obs = obs.psf
+        psf_im = psf_obs.image / psf_obs.image.sum()
+        H, W = obs.image.shape
+        Hp, Wp = psf_im.shape
+        N = kops.good_fft_size(self.pad_factor * max(H, W, Hp, Wp))
+        psfhat = kops.centered_fft(
+            jnp.asarray(psf_im), jnp.asarray(psf_obs.jacobian.get_cen()), N
+        )
+        if model_fn is None:
+            khat = psfhat
+        else:
+            kv, ku = kops.sky_kvu(N, obs.jacobian)
+            khat_model, bad = model_fn(band_pars, kv, ku)
+            if bool(bad):
+                raise GMixRangeError("bad template model parameters")
+            khat = khat_model * psfhat
+        template = kops.centered_ifft(
+            khat, jnp.asarray(obs.jacobian.get_cen()), (H, W),
+        )
+        return np.asarray(template)
 
 
 # reference-compatible names

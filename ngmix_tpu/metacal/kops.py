@@ -307,8 +307,8 @@ def gauss_kprofile(N, jac, sigma, flux=1.0, dtype=None):
     return flux * jnp.exp(-0.5 * sigma**2 * ksq)
 
 
-def sky_ksq(N, jac, dtype=None):
-    """|k_sky|^2 on the pixel-frame grid"""
+def sky_kvu(N, jac, dtype=None):
+    """sky-frame k components (kv, ku) on the pixel-frame fft grid"""
     kr, kc = kgrids(N, dtype=dtype)
     J = np.array(
         [[jac.dvdrow, jac.dvdcol], [jac.dudrow, jac.dudcol]], dtype=float
@@ -316,6 +316,12 @@ def sky_ksq(N, jac, dtype=None):
     Jinv = np.linalg.inv(J)
     kv = Jinv[0, 0] * kr + Jinv[1, 0] * kc
     ku = Jinv[0, 1] * kr + Jinv[1, 1] * kc
+    return kv, ku
+
+
+def sky_ksq(N, jac, dtype=None):
+    """|k_sky|^2 on the pixel-frame grid"""
+    kv, ku = sky_kvu(N, jac, dtype=dtype)
     return kv * kv + ku * ku
 
 

@@ -158,3 +158,79 @@ def test_spergel_cnu_gauss_limit():
     total = quad(lambda r: r ** (nu + 1) * kv(nu, r), 0, 50)[0]
     inner = quad(lambda r: r ** (nu + 1) * kv(nu, r), 0, c)[0]
     assert np.allclose(inner / total, 0.5, atol=1e-3)
+
+
+def test_psf_flux_fitter_analytic_model():
+    """analytic-model template fluxes (the reference's
+    GalsimPSFFluxFitter with a model; galsim_fitters.py:123-156)"""
+    from ngmix_tpu.fitting.kspace_fitters import KSpacePSFFluxFitter
+    from ngmix_tpu.metacal import kops
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(31)
+    noise = 1e-5
+    flux_true = 100.0
+    r50 = 0.5
+    dims, psf_dims = (49, 49), (25, 25)
+    cen = (np.array(dims) - 1.0) / 2.0
+    pcen = (np.array(psf_dims) - 1.0) / 2.0
+    jac = DiagonalJacobian(row=cen[0], col=cen[1], scale=SCALE)
+    pjac = DiagonalJacobian(row=pcen[0], col=pcen[1], scale=SCALE)
+    psf = GMixModel([0.0, 0.0, 0.02, -0.01, 0.3, 1.0], "gauss")
+    pimg = psf.make_image(psf_dims, jacobian=pjac, fast_exp=False)
+
+    # render the galaxy through the same k-space machinery the
+    # template uses, so the recovery is exact up to noise
+    from ngmix_tpu.fitting.kspace_fitters import make_kspace_model_fn
+
+    N = kops.good_fft_size(4 * max(dims))
+    psfhat = kops.centered_fft(
+        jnp.asarray(pimg / pimg.sum()), jnp.asarray(pcen), N
+    )
+    kv, ku = kops.sky_kvu(N, jac)
+    model_fn = make_kspace_model_fn("exp")
+    khat, bad = model_fn(
+        jnp.asarray([0.0, 0.0, 0.0, 0.0, r50, flux_true]), kv, ku
+    )
+    assert not bool(bad)
+    img = np.asarray(
+        kops.centered_ifft(khat * psfhat, jnp.asarray(cen), dims)
+    )
+    img = img + rng.normal(size=dims, scale=noise)
+    obs = Observation(
+        img, weight=np.full(dims, 1 / noise**2), jacobian=jac,
+        psf=Observation(
+            pimg, weight=np.full(psf_dims, 1e6), jacobian=pjac
+        ),
+    )
+
+    fitter = KSpacePSFFluxFitter(model={"model": "exp", "r50": r50})
+    res = fitter.go(obs)
+    assert res["flags"] == 0
+    assert abs(res["flux"] - flux_true) < 5 * res["flux_err"]
+    assert abs(res["flux"] / flux_true - 1) < 2e-3
+
+    # a wrong-size template biases the flux but still runs
+    res_wrong = KSpacePSFFluxFitter(
+        model={"model": "exp", "r50": 2.5 * r50}
+    ).go(obs)
+    assert res_wrong["flags"] == 0
+    assert abs(res_wrong["flux"] / flux_true - 1) > 0.05
+
+    # psf-flux path (model=None) unchanged
+    res_psf = KSpacePSFFluxFitter().go(obs)
+    assert res_psf["flags"] == 0
+
+    # spergel/moffat specs construct and fit
+    for spec in (
+        {"model": "spergel", "r50": r50, "nu": 0.5},
+        {"model": "moffat", "fwhm": 2 * r50, "beta": 3.5},
+        {"model": "gauss", "r50": r50},
+        {"model": "dev", "r50": r50},
+    ):
+        r = KSpacePSFFluxFitter(model=spec).go(obs)
+        assert r["flags"] == 0, spec
+        assert np.isfinite(r["flux"])
+
+    with pytest.raises(ValueError):
+        KSpacePSFFluxFitter(model="exp")
