@@ -62,8 +62,16 @@ class MultiBandNGMixMEDS(object):
         return mbobs
 
 
-class NGMixMEDS(_MEDS):
-    """MEDS file reader building Observations"""
+class NGMixMEDSMixin(object):
+    """Observation-building logic over any MEDS-interface provider.
+
+    The base (meds.MEDS or a duck-typed stand-in, e.g. the in-memory
+    fake in tests/test_medsreaders.py) supplies the raw-access
+    interface: ``_cat``, ``get_cutout``, ``get_jacobian``,
+    ``get_image_info``, ``get_psf``/``has_psf`` and the derived weight
+    builders (``get_uberseg``, ``get_cweight_cutout``,
+    ``get_cseg_weight``).
+    """
 
     def get_obslist(self, iobj, weight_type="weight"):
         obslist = ObsList()
@@ -176,3 +184,7 @@ class NGMixMEDS(_MEDS):
             c["psf_cutout_row"][iobj, icutout],
             c["psf_cutout_col"][iobj, icutout],
         )
+
+
+class NGMixMEDS(NGMixMEDSMixin, _MEDS):
+    """MEDS file reader building Observations"""
