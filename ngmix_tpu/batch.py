@@ -234,13 +234,22 @@ def metacal_image_set(images, cens, psf_images, psf_cens,
     dilation = 1.0 + 2.0 * conf.step
     if conf.psf_mode == "dilate":
         # dilated original psf (evaluate the pixel-free psf transform
-        # at d*k, exactly), shared by all galshear types
+        # at d*k, exactly), reconvolved by the pixel; shared by all
+        # galshear types (ref: metacal.py:296-315)
         ghat = kops.remap_k(
             psfdata["psfhat_nopix"], np.eye(2) * dilation
         ) * pix
     else:
+        # round-gaussian target WITHOUT the pixel: the deconvolution
+        # removed the pixelized psf and the reference never re-applies
+        # the pixel in these modes (drawImage(method='no_pixel'),
+        # metacal.py:285,651-665). Re-applying it would smear the
+        # output with the sky-projected pixel, whose anisotropy under
+        # a non-diagonal WCS leaks additively into <e> (measured:
+        # m=+0.22 at the reference test's ShearWCS g1=0.1).
         sig_d = sigma * dilation
-        ghat = jnp.exp(-0.5 * (sig_d[:, None, None] ** 2) * ksq) * pix
+        ghat = jnp.exp(-0.5 * (sig_d[:, None, None] ** 2) * ksq)
+        ghat = ghat.astype(psfdata["psfhat_n"].dtype)
 
     out = {}
     psf_out = {}

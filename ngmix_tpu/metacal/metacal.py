@@ -283,7 +283,12 @@ class MetacalAzGaussPSF(MetacalDilatePSF):
             self._target_sigma = self._get_target_sigma()
         kd = self.kdata
         sigma = self._target_sigma * _dilation(shear)
-        return kops.gauss_kprofile(kd.N, kd.jac, sigma) * kd.pix
+        # NO pixel factor: the reference never reconvolves the pixel
+        # in the gaussian-target modes (drawImage(method='no_pixel'),
+        # ngmix/metacal/metacal.py:285,651-665); the sky-projected
+        # pixel's anisotropy would otherwise leak additively into <e>
+        # under a non-diagonal WCS
+        return kops.gauss_kprofile(kd.N, kd.jac, sigma)
 
     def _make_psf_obs(self, psf_im):
         if self.psf_noise_image is not None:

@@ -290,3 +290,90 @@ def test_batch_pipeline_dilate_five_types():
     m = float(sr["shear"][0]) / 0.02 - 1
     assert abs(m) < 3e-3, m
     assert int(np.sum(np.asarray(res["noshear"]["flags"]) != 0)) == 0
+
+
+def _sim_batch_kspace(rng, B, jac, shear=(0.02, 0.0), noise=1e-4,
+                      psf_g=(0.025, -0.015), dims=DIMS,
+                      psf_dims=PSF_DIMS):
+    """simulate with profiles OUTSIDE the gaussian-mixture family the
+    fits use: a true Spergel galaxy and a Moffat psf, both rendered
+    through the k-space machinery (closing the correlated-renderer
+    blind spot; the reference simulates with galsim for the same
+    reason, tests/test_metacal_accuracy.py)"""
+    from ngmix_tpu.fitting.kspace_fitters import make_kspace_model_fn
+    from ngmix_tpu.jacobian import Jacobian
+    from ngmix_tpu.metacal import kops
+
+    jac_obj = Jacobian(
+        row=0, col=0, dvdrow=jac[0], dvdcol=jac[1],
+        dudrow=jac[2], dudcol=jac[3],
+    )
+    N = kops.good_fft_size(4 * max(max(dims), max(psf_dims)))
+    kv, ku = kops.sky_kvu(N, jac_obj)
+    pix = kops.pixel_kresponse(N)
+
+    moffat_fn = make_kspace_model_fn("moffat", size_type="fwhm")
+    psf_khat, bad_p = moffat_fn(
+        jnp.asarray([0.0, 0.0, psf_g[0], psf_g[1], 0.9, 3.5, 1.0]),
+        kv, ku,
+    )
+    spergel_fn = make_kspace_model_fn("spergel")
+    gal_khat, bad_g = spergel_fn(
+        jnp.asarray([0.0, 0.0, shear[0], shear[1], 0.45, 0.8, 100.0]),
+        kv, ku,
+    )
+    assert not (bool(bad_p) or bool(bad_g))
+
+    cen0 = (dims[0] - 1) / 2.0
+    pcen0 = (psf_dims[0] - 1) / 2.0
+    offs = rng.uniform(-0.5, 0.5, (B, 2))
+    cens = np.full((B, 2), cen0) + offs
+    khat_b = jnp.broadcast_to(gal_khat * psf_khat * pix, (B, N, N))
+    imgs = np.asarray(
+        jax.jit(
+            lambda k, c: jax.vmap(
+                lambda kk, cc: kops.centered_ifft(kk, cc, dims)
+            )(k, c)
+        )(khat_b, jnp.asarray(cens))
+    )
+    imgs = imgs + rng.normal(size=imgs.shape) * noise
+
+    pim = np.asarray(
+        jax.jit(
+            lambda: kops.centered_ifft(
+                psf_khat * pix, jnp.asarray([pcen0, pcen0]), psf_dims
+            )
+        )()
+    )
+    pimgs = np.tile(pim, (B, 1, 1))
+    pcens = np.full((B, 2), pcen0)
+    weights = np.full((B,) + dims, 1 / noise**2)
+    noise_f = rng.normal(size=(B,) + dims) * noise
+    return tuple(
+        jnp.asarray(x)
+        for x in (imgs, weights, cens, pimgs, pcens, noise_f)
+    )
+
+
+def test_batch_pipeline_sheared_wcs_independent_profile():
+    """north-star check off the renderer family and off a diagonal
+    WCS: true Spergel galaxy, Moffat psf, non-diagonal jacobian;
+    |m| < 1e-3 (ref gate: tests/test_metacal_accuracy.py:65-77)"""
+    rng = np.random.RandomState(77)
+    jac = (0.26, 0.021, -0.017, 0.27)  # sheared, slightly rotated WCS
+    # 49px stamps: the Spergel/Moffat wings truncate at 33px and
+    # inflate the residual above the gate
+    dims, psf_dims = (49, 49), (25, 25)
+    args = _sim_batch_kspace(rng, 48, jac, dims=dims, psf_dims=psf_dims)
+    conf = MetacalConfig(
+        dims=dims, psf_dims=psf_dims, jac=jac,
+        fixnoise=True, pad_factor=2,
+    )
+    for measure in ("gaussmom", "exp-lm"):
+        res = metacal_pipeline(*args, conf, measure=measure)
+        sr = shear_response(res)
+        m = float(sr["shear"][0]) / 0.02 - 1
+        c = float(sr["shear"][1])
+        assert int(np.sum(np.asarray(res["noshear"]["flags"]) != 0)) == 0
+        assert abs(m) < 1e-3, (measure, m)
+        assert abs(c) < 5e-4, (measure, c)

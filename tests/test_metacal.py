@@ -74,9 +74,14 @@ def test_good_fft_size():
 
 def test_metacal_gauss_oracle():
     """metacal images match the analytic gaussian-galaxy oracle to
-    machine precision"""
-    from scipy.special import erf
+    machine precision.
 
+    The gaussian-target modes reconvolve WITHOUT the pixel (the
+    deconvolution removed the pixelized psf and the reference never
+    reapplies the pixel: drawImage(method='no_pixel'),
+    ngmix/metacal/metacal.py:285,651-665), so the oracle is the
+    gaussian density SAMPLED at pixel centers times the pixel area.
+    """
     obs, gal, psf = _make_obs(
         np.random.RandomState(1),
         gal_pars=(0.0, 0.0, 0.05, 0.0, 0.9, 100.0),
@@ -89,28 +94,24 @@ def test_metacal_gauss_oracle():
     Td = 2 * (m._target_sigma * 1.02) ** 2
     target = GMixModel([0.0, 0.0, 0.0, 0.0, Td, 1.0], "gauss")
 
-    def erf_img(gm, dims, cen, flux):
+    def sampled_img(gm, dims, cen, flux):
         d = gm.get_data()[0]
         irr, icc = d[3], d[5]
         r = (np.arange(dims[0]) - cen[0]) * SCALE
         c = (np.arange(dims[1]) - cen[1]) * SCALE
-        s = SCALE / 2
-        fv = 0.5 * (
-            erf((r[:, None] + s) / np.sqrt(2 * irr))
-            - erf((r[:, None] - s) / np.sqrt(2 * irr))
+        dens = (
+            np.exp(-0.5 * r[:, None] ** 2 / irr)
+            * np.exp(-0.5 * c[None, :] ** 2 / icc)
+            / (2 * np.pi * np.sqrt(irr * icc))
         )
-        fu = 0.5 * (
-            erf((c[None, :] + s) / np.sqrt(2 * icc))
-            - erf((c[None, :] - s) / np.sqrt(2 * icc))
-        )
-        return flux * fv * fu
+        return flux * SCALE**2 * dens
 
     for t, sh in [("noshear", None), ("1p", (0.01, 0.0)), ("1m", (-0.01, 0.0))]:
         gs = gal.get_sheared(*sh) if sh else gal
         comb = gs.convolve(target)
         if abs(comb.get_data()[0][4]) > 1e-9:
             continue
-        oracle = erf_img(comb, (49, 49), (24, 24), 100.0)
+        oracle = sampled_img(comb, (49, 49), (24, 24), 100.0)
         assert np.abs(odict[t].image - oracle).max() / oracle.max() < 1e-10
 
 
