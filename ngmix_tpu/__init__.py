@@ -82,7 +82,9 @@ from . import ops  # noqa: F401
 from . import profiling  # noqa: F401
 from . import checkpoint  # noqa: F401
 from . import batch  # noqa: F401
+from . import containers  # noqa: F401
 from . import parallel  # noqa: F401
+from . import ragged  # noqa: F401
 from . import simobs  # noqa: F401
 from .metacal import MetacalBootstrapper  # noqa: F401
 from .admom import AdmomFitter, find_cen_admom, run_admom  # noqa: F401
