@@ -222,7 +222,7 @@ def secondary_rates(args, B):
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     nrep = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
     key = jax.random.PRNGKey(314)

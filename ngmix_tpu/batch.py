@@ -590,7 +590,7 @@ def _exp_normal_fn(pars, planes, psf_gmix, interpret=False,
 def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
                     use_pallas=None, interpret=False,
                     compact_capacity="auto", model="exp",
-                    prior=None, bounds=None):
+                    prior=None, bounds=None, guess=None):
     """batched simple-model LM fit (model in "exp" | "gauss" | "dev");
     psf is the analytic round target gaussian.
     Starting guesses come from a cheap gaussian weighted-moments pass
@@ -631,41 +631,49 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
     psf_gmix = psf_gmix.at[:, 0, 4].set(p_irc)
     psf_gmix = psf_gmix.at[:, 0, 5].set(p_icc)
 
-    # moments-based starting guesses
+    # moments-based starting guesses (skipped when the caller supplies
+    # them, e.g. warm starts from the noshear fit)
     from .moments import fwhm_to_T
 
-    wt = jnp.zeros((B, 1, 6), dtype)
-    Tw = float(fwhm_to_T(guess_fwhm))
-    wt = wt.at[:, 0, 0].set(2 * np.pi * Tw / 2)
-    wt = wt.at[:, 0, 3].set(Tw / 2)
-    wt = wt.at[:, 0, 5].set(Tw / 2)
-    msums = gcore.get_weighted_sums(wt, pixels, maxrad=1.0e9)
-    s = msums["sums"]
-    mf = s[..., 5]
-    mf_safe = jnp.where(mf > 0, mf, 1.0)
-    cen_v = s[..., 0] / mf_safe
-    cen_u = s[..., 1] / mf_safe
-    mt = s[..., 4] / mf_safe
-    e1 = jnp.clip(s[..., 2] / jnp.where(s[..., 4] > 0, s[..., 4], 1.0), -0.5, 0.5)
-    e2 = jnp.clip(s[..., 3] / jnp.where(s[..., 4] > 0, s[..., 4], 1.0), -0.5, 0.5)
-    # deweight the measured size and remove the psf
-    Tmeas = jnp.clip(mt, 0.05, None)
-    Tdew = 1.0 / jnp.clip(1.0 / Tmeas - 1.0 / Tw, 0.05, None)
-    Tpsf = p_irr + p_icc
-    Tguess = jnp.clip(Tdew - Tpsf, 0.05, None)
+    if guess is None:
+        wt = jnp.zeros((B, 1, 6), dtype)
+        Tw = float(fwhm_to_T(guess_fwhm))
+        wt = wt.at[:, 0, 0].set(2 * np.pi * Tw / 2)
+        wt = wt.at[:, 0, 3].set(Tw / 2)
+        wt = wt.at[:, 0, 5].set(Tw / 2)
+        msums = gcore.get_weighted_sums(wt, pixels, maxrad=1.0e9)
+        s = msums["sums"]
+        mf = s[..., 5]
+        mf_safe = jnp.where(mf > 0, mf, 1.0)
+        cen_v = s[..., 0] / mf_safe
+        cen_u = s[..., 1] / mf_safe
+        mt = s[..., 4] / mf_safe
+        e1 = jnp.clip(
+            s[..., 2] / jnp.where(s[..., 4] > 0, s[..., 4], 1.0), -0.5, 0.5
+        )
+        e2 = jnp.clip(
+            s[..., 3] / jnp.where(s[..., 4] > 0, s[..., 4], 1.0), -0.5, 0.5
+        )
+        # deweight the measured size and remove the psf
+        Tmeas = jnp.clip(mt, 0.05, None)
+        Tdew = 1.0 / jnp.clip(1.0 / Tmeas - 1.0 / Tw, 0.05, None)
+        Tpsf = p_irr + p_icc
+        Tguess = jnp.clip(Tdew - Tpsf, 0.05, None)
 
-    wsum = jnp.sum(pixels.val * (pixels.ierr > 0), axis=-1)
-    guess = jnp.stack(
-        [
-            cen_v,
-            cen_u,
-            0.5 * e1,
-            0.5 * e2,
-            Tguess,
-            wsum,
-        ],
-        axis=-1,
-    )
+        wsum = jnp.sum(pixels.val * (pixels.ierr > 0), axis=-1)
+        guess = jnp.stack(
+            [
+                cen_v,
+                cen_u,
+                0.5 * e1,
+                0.5 * e2,
+                Tguess,
+                wsum,
+            ],
+            axis=-1,
+        )
+    else:
+        guess = jnp.asarray(guess, dtype)
     if bounds is None:
         lo = jnp.full(6, -jnp.inf, dtype)
         hi = jnp.full(6, jnp.inf, dtype)
