@@ -46,8 +46,15 @@ def _censums(wt6, pixels):
     return s0, s1, s5
 
 
-def _momsums(wt6, pixels):
-    """7 weighted sums + 7x7 covariance (ref: admom_nb.py:132-175)"""
+def _momsums(wt6, pixels, with_cov=True):
+    """7 weighted sums + 7x7 covariance (ref: admom_nb.py:132-175).
+
+    with_cov=False skips the 7x7 covariance accumulation (49 weighted
+    reductions vs 7 for the sums): the iteration loop only consumes the
+    sums, so the covariance is computed ONCE after convergence at the
+    stored measurement weight - identical values at a fraction of the
+    per-iteration cost.
+    """
     w = _eval_weight(wt6, pixels)
     vcen = wt6[..., 1]
     ucen = wt6[..., 2]
@@ -75,14 +82,16 @@ def _momsums(wt6, pixels):
         ],
         axis=-1,
     )
+    wdata = w * pixels.val
+    sums = jnp.einsum("...p,...pi->...i", wdata, F)
+    wsum = jnp.sum(w, axis=-1)
+    if not with_cov:
+        return sums, None, wsum
     mask = pixels.ierr > 0
     ierr_safe = jnp.where(mask, pixels.ierr, 1.0)
     var = 1.0 / (ierr_safe * ierr_safe)
-    wdata = w * pixels.val
     w2var = w * w * var
-    sums = jnp.einsum("...p,...pi->...i", wdata, F)
     sums_cov = jnp.einsum("...p,...pi,...pj->...ij", w2var, F, F)
-    wsum = jnp.sum(w, axis=-1)
     return sums, sums_cov, wsum
 
 
@@ -140,13 +149,15 @@ def admom_single(pixels, wt0, conf: AdmomConf):
     """
     dtype = pixels.val.dtype
     zero_sums = jnp.zeros(_NSUMS, dtype=dtype)
-    zero_cov = jnp.zeros((_NSUMS, _NSUMS), dtype=dtype)
 
     roworig = wt0[1]
     colorig = wt0[2]
 
     state = {
         "wt": wt0.astype(dtype),
+        # the weight the final sums were measured with (center-updated,
+        # pre-deweight) - the post-loop covariance is evaluated here
+        "wt_meas": wt0.astype(dtype),
         "e1old": jnp.asarray(jnp.nan, dtype),
         "e2old": jnp.asarray(jnp.nan, dtype),
         "Told": jnp.asarray(jnp.nan, dtype),
@@ -154,7 +165,6 @@ def admom_single(pixels, wt0, conf: AdmomConf):
         "numiter": jnp.int32(0),
         "done": jnp.asarray(False),
         "sums": zero_sums,
-        "sums_cov": zero_cov,
         "wsum": jnp.asarray(0.0, dtype),
         "pars": jnp.full(6, jnp.nan, dtype),
         "rho4": jnp.asarray(jnp.nan, dtype),
@@ -187,8 +197,9 @@ def admom_single(pixels, wt0, conf: AdmomConf):
         ) & (flags == 0)
         flags = flags | jnp.where(cen_shift, nf.CEN_SHIFT, 0)
 
-        # moment sums
-        sums, sums_cov, wsum = _momsums(wt, pixels)
+        # moment sums (covariance deferred to after the loop)
+        sums, _, wsum = _momsums(wt, pixels, with_cov=False)
+        wt_meas = wt
         nonpos_flux2 = (flags == 0) & (sums[5] <= 0.0)
         flags = flags | jnp.where(nonpos_flux2, nf.NONPOS_FLUX, 0)
 
@@ -234,6 +245,7 @@ def admom_single(pixels, wt0, conf: AdmomConf):
 
         return {
             "wt": wt,
+            "wt_meas": wt_meas,
             "e1old": jnp.where(do_iterate, e1, s["e1old"]),
             "e2old": jnp.where(do_iterate, e2, s["e2old"]),
             "Told": jnp.where(do_iterate, T, s["Told"]),
@@ -241,7 +253,6 @@ def admom_single(pixels, wt0, conf: AdmomConf):
             "numiter": s["numiter"] + 1,
             "done": done,
             "sums": sums,
-            "sums_cov": sums_cov,
             "wsum": wsum,
             "pars": jnp.where(converged, pars, s["pars"]),
             "rho4": jnp.where(converged, rho4, s["rho4"]),
@@ -258,11 +269,14 @@ def admom_single(pixels, wt0, conf: AdmomConf):
     det = wt[3] * wt[5] - wt[4] * wt[4]
     wgt_norm = 1.0 / (2 * np.pi * jnp.sqrt(jnp.where(det > 0, det, 1.0)))
 
+    # the 7x7 covariance, once, at the weight the final sums used
+    _, sums_cov, _ = _momsums(out["wt_meas"], pixels)
+
     return {
         "flags": flags,
         "numiter": out["numiter"],
         "sums": out["sums"],
-        "sums_cov": out["sums_cov"],
+        "sums_cov": sums_cov,
         "wsum": out["wsum"],
         "pars": out["pars"],
         "rho4": out["rho4"],
