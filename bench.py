@@ -92,13 +92,20 @@ def _fetch(res):
 def secondary_rates(args, B):
     """BASELINE.md configs 1-3: per-solver throughput on the same
     stamps (EM, admom, gaussmom, pre-psf moments, gaussmom metacal).
-    Each is one jitted batched program, timed over 2 reps."""
+    Each is one jitted batched program, timed over 2 reps.
+
+    Capped at B=2048: the secondary configs run bigger FFT grids
+    (pad 2-4) where the headline knee batch would press HBM; 2048 is
+    past each secondary's own throughput knee."""
     from ngmix_tpu.admom import AdmomConf, admom_batch
     from ngmix_tpu.batch import make_pixels_batch
     from ngmix_tpu.em import EMConf, em_batch
     from ngmix_tpu.gaussmom import gaussmom_measure
     from ngmix_tpu.prepsfmom import prepsfmom_batch
 
+    if B > 2048:
+        B = 2048
+        args = tuple(a[:B] for a in args)
     imgs, weights, cens, pimgs, pcens, noise = args
     dtype = imgs.dtype
     conf = MetacalConfig(
@@ -222,7 +229,9 @@ def secondary_rates(args, B):
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    # B=6144 is the post-cholesky throughput knee (20.8k @2048,
+    # 22.6k @4096, 23.7k @6144; 8192 collapses on HBM pressure)
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 6144
     nrep = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
     key = jax.random.PRNGKey(314)
