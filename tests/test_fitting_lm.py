@@ -369,3 +369,53 @@ def test_lm_dof_counts_only_unmasked_rows():
     ratio = float(out_naive["s_sq"] / out_eff["s_sq"])
     expected = (nlive - npars) / (nlive + nmask - npars)
     assert np.allclose(ratio, expected, rtol=1e-10)
+
+
+def test_lm_singular_jacobian_flagged():
+    """a residual independent of one parameter makes JtJ singular: the
+    cholesky covariance comes back nan and the SINGULAR flag is set
+    (the LU path used to return finite garbage for indefinite JtJ)"""
+    from ngmix_tpu.fitting.lm import run_lm_normal_batched
+    from ngmix_tpu import flags as nf
+
+    rng = np.random.RandomState(9)
+    nrows, npars = 12, 3
+    A = np.zeros((nrows, npars))
+    A[:, :2] = rng.normal(size=(nrows, 2))  # column 2 unused
+    A = jnp.asarray(A)
+    y = jnp.asarray(rng.normal(size=nrows))
+
+    def resid(pars, data):
+        return A @ pars - data
+
+    out = run_lm(
+        resid, y, jnp.zeros(npars), jnp.full(npars, -jnp.inf),
+        jnp.full(npars, jnp.inf), LMConf(),
+    )
+    assert int(out["flags"]) & nf.LM_SINGULAR_MATRIX
+    # batched driver: one singular lane, one healthy lane
+    B = 2
+    Ab = jnp.asarray(
+        np.stack([np.asarray(A), rng.normal(size=(nrows, npars))])
+    )
+    yb = jnp.asarray(rng.normal(size=(B, nrows)))
+
+    def normal_fn(pars, data):
+        Ad, yd = data
+        r = jnp.einsum("bri,bi->br", Ad, pars) - yd
+        J = Ad
+        return (
+            jnp.sum(r * r, axis=-1),
+            jnp.einsum("bri,br->bi", J, r),
+            jnp.einsum("bri,brj->bij", J, J),
+        )
+
+    outb = run_lm_normal_batched(
+        normal_fn, (Ab, yb), jnp.zeros((B, npars)),
+        jnp.full(npars, -jnp.inf), jnp.full(npars, jnp.inf), LMConf(),
+        nres=nrows,
+    )
+    fl = np.asarray(outb["flags"])
+    assert fl[0] & nf.LM_SINGULAR_MATRIX
+    assert fl[1] == 0
+    assert np.all(np.isfinite(np.asarray(outb["pars_cov"][1])))
