@@ -306,7 +306,7 @@ def _batched_centered_fft(img, cens, N):
     phase = jnp.exp(
         1j * (kr * cens[:, 0, None, None] + kc * cens[:, 1, None, None])
     )
-    return jnp.fft.fft2(pad) * phase
+    return kops.fft2_auto(pad) * phase
 
 
 def _batched_centered_ifft(khat, cens, dims):
@@ -315,7 +315,7 @@ def _batched_centered_ifft(khat, cens, dims):
     phase = jnp.exp(
         -1j * (kr * cens[:, 0, None, None] + kc * cens[:, 1, None, None])
     )
-    full = jnp.fft.ifft2(khat * phase).real
+    full = kops.fft2_auto(khat * phase, inverse=True).real
     return full[..., : dims[0], : dims[1]]
 
 
@@ -650,7 +650,9 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
         wt = wt.at[:, 0, 0].set(2 * np.pi * Tw / 2)
         wt = wt.at[:, 0, 3].set(Tw / 2)
         wt = wt.at[:, 0, 5].set(Tw / 2)
-        msums = gcore.get_weighted_sums(wt, pixels, maxrad=1.0e9)
+        msums = gcore.get_weighted_sums(
+            wt, pixels, maxrad=1.0e9, with_cov=False
+        )
         s = msums["sums"]
         mf = s[..., 5]
         mf_safe = jnp.where(mf > 0, mf, 1.0)

@@ -468,7 +468,7 @@ def _moment_features(vmod, umod, v, u, higher_order=False):
 
 
 def get_weighted_sums(wt, pixels, maxrad, higher_order=False,
-                      use_pallas=False):
+                      use_pallas=False, with_cov=True):
     """weighted moment sums with full covariance.
 
     ref: ngmix/gmix/gmix_nb.py:682-821. The weight is evaluated with the
@@ -476,7 +476,9 @@ def get_weighted_sums(wt, pixels, maxrad, higher_order=False,
     (gauss2d_eval_pixel). The [nmom, nmom] covariance is a single
     einsum (MXU) per stamp. use_pallas routes the weight evaluation
     through the fused Pallas kernel on TPU backends (~5x on the
-    explicitly batched [B, npix] path).
+    explicitly batched [B, npix] path). with_cov=False skips the
+    covariance accumulation (nmom^2 reductions) for callers that only
+    consume the sums (e.g. LM starting guesses); sums_cov is None.
 
     Returns dict with sums [..., nmom], sums_cov [..., nmom, nmom],
     wsum, npix, flags.
@@ -508,7 +510,10 @@ def get_weighted_sums(wt, pixels, maxrad, higher_order=False,
 
     F = _moment_features(vmod, umod, pixels.v, pixels.u, higher_order)
     sums = jnp.einsum("...p,...pi->...i", wdata, F)
-    sums_cov = jnp.einsum("...p,...pi,...pj->...ij", w2var, F, F)
+    if with_cov:
+        sums_cov = jnp.einsum("...p,...pi,...pj->...ij", w2var, F, F)
+    else:
+        sums_cov = None
 
     return {
         "sums": sums,

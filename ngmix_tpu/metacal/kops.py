@@ -51,6 +51,61 @@ def kgrids(N, dtype=None):
     return k[:, None], k[None, :]
 
 
+# Below this size, 1-D FFT passes are dispatched to a compile-time
+# constant DFT matmul on the MXU instead of XLA's fft HLO. Whether this
+# wins is workload-dependent (measure whole pipelines, not ops);
+# toggled by set_fft_matmul / the NGMIX_FFT_MATMUL env default.
+_FFT_MATMUL_MAX_N = 0
+
+
+def set_fft_matmul(max_n):
+    """use DFT matmuls for 1-D FFT passes with N <= max_n (0 = off)"""
+    global _FFT_MATMUL_MAX_N
+    _FFT_MATMUL_MAX_N = int(max_n)
+
+
+def _dft_w(N, inverse, dtype):
+    sign = 2j if inverse else -2j
+    W = np.exp(sign * np.pi * np.outer(np.arange(N), np.arange(N)) / N)
+    if inverse:
+        W = W / N
+    return jnp.asarray(W, dtype)
+
+
+def fft_axis(A, axis=-1, inverse=False):
+    """1-D FFT along axis: XLA fft HLO, or an exact constant-matrix DFT
+    on the MXU (Precision.HIGHEST) for small static N when enabled."""
+    N = A.shape[axis]
+    if N <= _FFT_MATMUL_MAX_N:
+        W = _dft_w(N, inverse, jnp.result_type(A.dtype, np.complex64))
+        moved = jnp.moveaxis(A, axis, -1)
+        out = jnp.einsum(
+            "...m,mj->...j", moved, W, precision=jax.lax.Precision.HIGHEST
+        )
+        return jnp.moveaxis(out, -1, axis)
+    if inverse:
+        return jnp.fft.ifft(A, axis=axis)
+    return jnp.fft.fft(A, axis=axis)
+
+
+def fft2_auto(A, inverse=False):
+    """2-D FFT over the last two axes.
+
+    Dispatches to the single fused fft2 HLO unless the DFT-matmul
+    toggle covers N (two 1-D fft HLOs are measurably slower than one
+    fft2, so the split only happens on the matmul path). Measured on
+    v5e at the headline pipeline (N=64, B=6144): full matmul mode is
+    ~9% SLOWER end-to-end than XLA's fft2, so the toggle defaults off;
+    it exists because the tradeoff is hardware-generation dependent.
+    """
+    if A.shape[-1] <= _FFT_MATMUL_MAX_N and A.shape[-2] <= _FFT_MATMUL_MAX_N:
+        return fft_axis(fft_axis(A, axis=-1, inverse=inverse),
+                        axis=-2, inverse=inverse)
+    if inverse:
+        return jnp.fft.ifft2(A)
+    return jnp.fft.fft2(A)
+
+
 def centered_fft(img, cen, N):
     """FFT of a stamp with phases referenced to a (fractional) center.
 
@@ -62,7 +117,7 @@ def centered_fft(img, cen, N):
     pad = pad.at[..., :H, :W].set(img)
     kr, kc = kgrids(N, dtype=img.dtype)
     phase = jnp.exp(1j * (kr * cen[..., 0] + kc * cen[..., 1]))
-    return jnp.fft.fft2(pad) * phase
+    return fft2_auto(pad) * phase
 
 
 def centered_ifft(khat, cen, dims):
@@ -71,7 +126,7 @@ def centered_ifft(khat, cen, dims):
     N = khat.shape[-1]
     kr, kc = kgrids(N)
     phase = jnp.exp(-1j * (kr * cen[..., 0] + kc * cen[..., 1]))
-    full = jnp.fft.ifft2(khat * phase).real
+    full = fft2_auto(khat * phase, inverse=True).real
     return full[..., : dims[0], : dims[1]]
 
 
@@ -115,9 +170,9 @@ def _shift_axis(A, s, axis):
     shape = [1] * A.ndim
     shape[axis] = N
     m = m.reshape(shape)
-    Ahat = jnp.fft.fft(A, axis=axis)
+    Ahat = fft_axis(A, axis=axis)
     phase = jnp.exp(2j * jnp.pi * m * s / N)
-    return jnp.fft.ifft(Ahat * phase, axis=axis)
+    return fft_axis(Ahat * phase, axis=axis, inverse=True)
 
 
 def _czt_scale_axis(A, b, axis, shift=None):
@@ -205,7 +260,7 @@ def _scale_axis_matmul(A, b, axis, shift=None):
     """
     N = A.shape[axis]
     mf = np.fft.fftfreq(N, d=1.0 / N)  # signed indices, fft order
-    Ahat = jnp.fft.fft(A, axis=axis)
+    Ahat = fft_axis(A, axis=axis)
     if shift is not None:
         mf_shape = [1] * A.ndim
         mf_shape[axis] = N

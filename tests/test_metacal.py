@@ -268,3 +268,29 @@ def test_metacal_requires_shape_type():
         m.get_obs_galshear((0.01, 0.0))
     obs2 = m.get_obs_galshear(Shape(0.01, 0.0))
     assert obs2.image.shape == obs.image.shape
+
+
+def test_fft_matmul_mode_matches_xla_fft():
+    """the DFT-matmul FFT toggle is exact: both modes agree to f32
+    roundoff on centered_fft/centered_ifft round trips"""
+    import numpy as np
+    import jax.numpy as jnp
+    from ngmix_tpu.metacal import kops
+
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.normal(size=(2, 33, 33)))
+    cen = jnp.asarray([[16.2, 15.8], [16.0, 16.4]])
+    try:
+        cen_b = cen[:, None, None, :]
+        kops.set_fft_matmul(0)
+        k0 = kops.centered_fft(img, cen_b, 48)
+        out0 = kops.centered_ifft(k0, cen_b, (33, 33))
+        kops.set_fft_matmul(128)
+        k1 = kops.centered_fft(img, cen_b, 48)
+        out1 = kops.centered_ifft(k1, cen_b, (33, 33))
+    finally:
+        kops.set_fft_matmul(0)
+    np.testing.assert_allclose(np.asarray(k0), np.asarray(k1),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                               rtol=1e-8, atol=1e-10)
