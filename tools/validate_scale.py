@@ -1,65 +1,84 @@
 """Survey-scale shear-recovery validation on the TPU.
 
-Runs ~100k simulated stamps through the full batched metacal + exp-LM
-pipeline and reports the recovered multiplicative bias m with its
-uncertainty. Run: python tools/validate_scale.py [batch] [nbatch]
+Runs the full batched metacal + exp-LM pipeline over many simulated
+batches and reports the recovered multiplicative bias m with its
+uncertainty. Calibration statistics (per-type e1 sums, counts, e1^2)
+accumulate ON DEVICE - only O(1) scalars cross the tunnel at the end,
+the same pattern the sharded pipeline psums across chips.
 
-Measured on TPU v5e (2026-08, post MXU-remap + LM compaction): 102400
-stamps, R11 = 0.9675, m = 3.93e-4 +/- 9.7e-6 (99.7%) - the reference's
-method-intrinsic residual (test_metacal_accuracy asserts
-m ~ 3.4e-4 +/- 1e-4) resolved at 10x finer precision. Pure pipeline
-throughput ~6600 stamps/s/chip at B=2048; ~3100 stamps/s sustained
-including the host-side result fetches through the tunnel.
+Run: python tools/validate_scale.py [batch] [nbatch]
+
+Measured on TPU v5e (2026-08, post small-linalg cholesky, pad 1.3):
+1,044,480 stamps in 36 s steady-state (28.8k stamps/s sustained,
+simulation included - sim and pipeline overlap through async
+dispatch): R11 = 0.9996, m = 3.95e-4 +/- 3.7e-6 (99.7%) - the
+reference's method-intrinsic residual (test_metacal_accuracy asserts
+m ~ 3.4e-4 +/- 1e-4) resolved at ~25x finer precision.
 """
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 sys.path.insert(0, ".")
 import bench as B  # noqa: E402
-from ngmix_tpu.batch import MetacalConfig, make_metacal_pipeline_fn  # noqa: E402
+from ngmix_tpu.batch import (  # noqa: E402
+    MetacalConfig,
+    metacal_pipeline,
+)
+
+TYPES = ("noshear", "1p", "1m", "2p", "2m")
 
 
 def main(Bsz=2048, nbatch=50):
     conf = MetacalConfig(
         dims=B.DIMS, psf_dims=B.PSF_DIMS, jac=(B.SCALE, 0.0, 0.0, B.SCALE),
-        fixnoise=True, pad_factor=2, fit_dims=(19, 19),
-    )
-    fn = make_metacal_pipeline_fn(conf, measure="exp-lm")
-    sim_fn = jax.jit(lambda k: B.make_sim_batch(k, Bsz))
+        fixnoise=True, pad_factor=1.3, fit_dims=(19, 19),
+    )  # the bench headline config (pad 1.3 validated m-neutral)
+
+    @jax.jit
+    def step(key, acc):
+        """simulate one batch, run the pipeline, fold the calibration
+        sums into the device accumulator"""
+        args = B.make_sim_batch(key, Bsz)
+        res = metacal_pipeline(*args, conf, measure="exp-lm")
+        for i, t in enumerate(TYPES):
+            ok = res[t]["flags"] == 0
+            e1 = jnp.where(ok, res[t]["e1"], 0.0)
+            acc = acc.at[i, 0].add(jnp.sum(e1))
+            acc = acc.at[i, 1].add(jnp.sum(ok))
+            acc = acc.at[i, 2].add(jnp.sum(e1 * e1))
+        return acc
 
     key = jax.random.PRNGKey(777)
-    sums = {t: 0.0 for t in ("noshear", "1p", "1m", "2p", "2m")}
-    sq = 0.0
-    n = {t: 0 for t in sums}
-    t_total = 0.0
-    for i in range(nbatch):
-        key, k = jax.random.split(key)
-        args = sim_fn(k)
-        t0 = time.time()
-        res = fn(*args)
-        float(jnp.sum(res["noshear"]["e1"]))  # force execution
-        t_total += time.time() - t0
-        for t in sums:
-            ok = np.asarray(res[t]["flags"]) == 0
-            e1 = np.asarray(res[t]["e1"])[ok]
-            sums[t] += e1.sum()
-            n[t] += ok.sum()
-            if t == "noshear":
-                sq += (e1**2).sum()
+    # f32 on device (x64 is off in the pipeline); XLA's pairwise-tree
+    # reductions keep the accumulation error ~eps*log(n) - validated
+    # identical (to 1e-8 in m) against an f64 host-side accumulation
+    acc = jnp.zeros((len(TYPES), 3))
 
-    N = n["noshear"]
-    mean = {t: sums[t] / n[t] for t in sums}
+    # compile
+    key, k = jax.random.split(key)
+    acc = step(k, acc)
+    float(acc[0, 0])
+    t0 = time.time()
+    for i in range(nbatch - 1):
+        key, k = jax.random.split(key)
+        acc = step(k, acc)
+    a = jax.device_get(acc)  # the ONLY bulk fetch: [5, 3] scalars
+    t_total = time.time() - t0
+
+    mean = {t: a[i, 0] / a[i, 1] for i, t in enumerate(TYPES)}
+    N = a[0, 1]
     R11 = (mean["1p"] - mean["1m"]) / 0.02
     sh = mean["noshear"] / R11
-    se = np.sqrt(sq / N - mean["noshear"] ** 2) / np.sqrt(N) / R11
+    var = a[0, 2] / N - mean["noshear"] ** 2
+    se = (var / N) ** 0.5 / R11
     m = sh / 0.02 - 1
+    n_total = int(sum(a[i, 1] for i in range(len(TYPES))) / len(TYPES))
     print(
-        "stamps: %d  pipeline time: %.1fs -> %.0f stamps/s sustained"
-        % (N, t_total, N / t_total)
+        "stamps: %d  steady-state: %.1fs for %d -> %.0f stamps/s sustained"
+        % (n_total, t_total, (nbatch - 1) * Bsz, (nbatch - 1) * Bsz / t_total)
     )
     print("R11=%.4f  m = %.2e +/- %.2e (99.7%%)" % (R11, m, 3 * se / 0.02))
 
