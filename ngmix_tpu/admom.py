@@ -19,6 +19,7 @@ from .gmix import core as gcore
 from .gmix.gmix import GMix, GMixModel
 from .observation import Observation
 from .shape import e1e2_to_g1g2
+from .util import match_vma
 from .util import get_ratio_error
 
 DEFAULT_MAXITER = 200
@@ -169,6 +170,9 @@ def admom_single(pixels, wt0, conf: AdmomConf):
         "pars": jnp.full(6, jnp.nan, dtype),
         "rho4": jnp.asarray(jnp.nan, dtype),
     }
+    # carries initialized from constants must match the body's
+    # varying-across-mesh types under shard_map (no-op otherwise)
+    state = jax.tree.map(lambda v: match_vma(v, pixels.val), state)
 
     def cond(s):
         return (~s["done"]) & (s["numiter"] < conf.maxiter)

@@ -538,20 +538,24 @@ def _lm_planes(pixels):
 
 def _make_ad_normal_fn(fill_fn):
     """normal-equation reductions (cost, Jtr, JtJ) of a simple-model
-    fit via vmapped AD (jax.linearize): the XLA-fused default. Same
+    fit via vmapped AD (eval + jacfwd): the XLA-fused default. Same
     contract as _exp_normal_fn so both plug into
-    run_lm_normal_batched."""
+    run_lm_normal_batched.
+
+    jacfwd rather than linearize + manual seed basis: measured
+    identical on TPU (the tangent passes dominate; XLA CSEs the second
+    primal), and linearize's constant eye seeds violate jax 0.9's
+    varying-across-mesh typing under shard_map."""
 
     def normal_fn(pars, data):
         pixels, psf_gmix = data
 
         def one(p, px, pg):
-            r, jvp_fn = jax.linearize(
-                lambda q: _model_lm_fdiff(q, (px, pg), fill_fn), p
-            )
-            J = jax.vmap(jvp_fn, in_axes=0, out_axes=1)(
-                jnp.eye(p.shape[-1], dtype=p.dtype)
-            )
+            def f(q):
+                return _model_lm_fdiff(q, (px, pg), fill_fn)
+
+            r = f(p)
+            J = jax.jacfwd(f)(p)
             return jnp.sum(r * r), J.T @ r, J.T @ J
 
         return jax.vmap(one)(pars, pixels, psf_gmix)
@@ -749,34 +753,51 @@ def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
     return fn
 
 
+def shear_response_sums(results):
+    """per-type partial calibration sums {type: {"se": [2], "n": []}}.
+
+    These are the shard-local quantities whose cross-chip psum exactly
+    reconstructs the global shear_response - the only data that needs
+    to cross the ICI in the sharded pipeline.
+    """
+    out = {}
+    for t in GALSHEAR_TYPES:
+        ok = results[t]["flags"] == 0
+        se = jnp.stack([
+            jnp.sum(jnp.where(ok, results[t]["e1"], 0.0)),
+            jnp.sum(jnp.where(ok, results[t]["e2"], 0.0)),
+        ])
+        out[t] = {"se": se, "n": jnp.sum(ok)}
+    return out
+
+
+def shear_response_from_sums(sums, step=DEFAULT_STEP):
+    """shear_response from (psum'd) partial sums"""
+    def mean_e(t):
+        # an all-flagged batch divides by 1 and yields e=0 instead of
+        # nan; n_used in the output exposes the empty selection
+        return sums[t]["se"] / jnp.maximum(sums[t]["n"], 1)
+
+    e_ns = mean_e("noshear")
+    R11 = (mean_e("1p")[0] - mean_e("1m")[0]) / (2 * step)
+    R22 = (mean_e("2p")[1] - mean_e("2m")[1]) / (2 * step)
+    R12 = (mean_e("2p")[0] - mean_e("2m")[0]) / (2 * step)
+    R21 = (mean_e("1p")[1] - mean_e("1m")[1]) / (2 * step)
+    R = jnp.array([[R11, R12], [R21, R22]])
+    shear = jnp.linalg.solve(R, e_ns)
+    return {
+        "e_mean": e_ns, "R": R, "shear": shear,
+        "n_used": sums["noshear"]["n"],
+    }
+
+
 def shear_response(results, step=DEFAULT_STEP):
     """mean shear and response from a batched metacal result dict.
 
     Returns dict with e_mean [2], R [2, 2], shear [2] = R^-1 e_mean
-    (the standard metacal estimator). Reductions are jnp so they psum
-    cleanly under shard_map.
+    (the standard metacal estimator).
     """
-    def mean_e(t):
-        ok = results[t]["flags"] == 0
-        n = jnp.sum(ok)
-        # an all-flagged batch divides by 1 and yields e=0 instead of
-        # nan; n_used in the output exposes the empty selection
-        n_safe = jnp.maximum(n, 1)
-        e1 = jnp.sum(jnp.where(ok, results[t]["e1"], 0.0)) / n_safe
-        e2 = jnp.sum(jnp.where(ok, results[t]["e2"], 0.0)) / n_safe
-        return jnp.stack([e1, e2]), n
-
-    def mean_e_only(t):
-        return mean_e(t)[0]
-
-    e_ns, n_used = mean_e("noshear")
-    R11 = (mean_e_only("1p")[0] - mean_e_only("1m")[0]) / (2 * step)
-    R22 = (mean_e_only("2p")[1] - mean_e_only("2m")[1]) / (2 * step)
-    R12 = (mean_e_only("2p")[0] - mean_e_only("2m")[0]) / (2 * step)
-    R21 = (mean_e_only("1p")[1] - mean_e_only("1m")[1]) / (2 * step)
-    R = jnp.array([[R11, R12], [R21, R22]])
-    shear = jnp.linalg.solve(R, e_ns)
-    return {"e_mean": e_ns, "R": R, "shear": shear, "n_used": n_used}
+    return shear_response_from_sums(shear_response_sums(results), step=step)
 
 
 def psf_shear_response(results, step=DEFAULT_STEP):
@@ -960,12 +981,14 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
         axis=-1,
     )
 
-    eye = jnp.eye(npars, dtype=dtype)
-
     def mb_normal_fn(pars, d):
+        # jacfwd, not linearize + seeds: see _make_ad_normal_fn
         def one(p, dd):
-            r, jvp_fn = jax.linearize(lambda q: fdiff_fn(q, dd), p)
-            J = jax.vmap(jvp_fn, in_axes=0, out_axes=1)(eye)
+            def f(q):
+                return fdiff_fn(q, dd)
+
+            r = f(p)
+            J = jax.jacfwd(f)(p)
             return jnp.sum(r * r), J.T @ r, J.T @ J
 
         return jax.vmap(one)(pars, d)

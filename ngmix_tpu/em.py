@@ -23,6 +23,7 @@ from .flags import EM_MAXITER, EM_RANGE_ERROR
 from .gmix import core as gcore
 from .gmix.gmix import GMix, GMixModel
 from .observation import Observation
+from .util import match_vma
 
 logger = logging.getLogger(__name__)
 
@@ -120,6 +121,9 @@ def em_single(pixels, gmix0, gmix_psf, sky, conf: EMConf):
         "flags": jnp.int32(0),
         "done": jnp.asarray(False),
     }
+    # carries initialized from constants must match the body's
+    # varying-across-mesh types under shard_map (no-op otherwise)
+    state = jax.tree.map(lambda v: match_vma(v, pixels.val), state)
 
     def cond(s):
         return (~s["done"]) & (s["numiter"] < conf.maxiter)

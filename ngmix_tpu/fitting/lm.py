@@ -27,6 +27,7 @@ import numpy as np
 
 from ..defaults import CDEF, PDEF
 from ..ops.small_linalg import chol_inverse, chol_is_spd, chol_solve
+from ..util import match_vma as _match_vma
 from ..flags import (
     EIG_NOTFINITE,
     LM_FUNC_NOTFINITE,
@@ -159,13 +160,14 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
     def resid_int(y):
         return resid_fn(i2e(y, lo, hi), data)
 
-    eye_p = jnp.eye(npars, dtype=dtype)
-
     def resid_and_jac(y):
-        """one nonlinear pass + npars linear passes via linearize
-        (cheaper than a separate residual eval + jacfwd)"""
-        r, jvp_fn = jax.linearize(resid_int, y)
-        J = jax.vmap(jvp_fn, in_axes=0, out_axes=1)(eye_p)
+        """residual + exact jacobian via jacfwd (measured identical to
+        linearize + seed basis on TPU - the tangent passes dominate and
+        XLA CSEs the second primal; jacfwd also survives jax 0.9's
+        varying-across-mesh typing under shard_map, where linearize's
+        constant eye seeds do not)"""
+        r = resid_int(y)
+        J = jax.jacfwd(resid_int)(y)
         return r, J
 
     y0 = e2i(guess, lo, hi)
@@ -184,6 +186,9 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
         "ier_small_step": jnp.asarray(False),
         "ier_small_cost": jnp.asarray(False),
     }
+    # carries initialized from constants must match the body's
+    # varying-across-mesh types under shard_map (no-op otherwise)
+    state = jax.tree.map(lambda v: _match_vma(v, r0), state)
 
     def cond(s):
         return (~s["done"]) & (s["nfev"] < conf.maxfev)
@@ -439,6 +444,9 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
         "ier_small_step": jnp.zeros((n0,), bool),
         "ier_small_cost": jnp.zeros((n0,), bool),
     }
+    # carries initialized from constants must match the body's
+    # varying-across-mesh types under shard_map (no-op otherwise)
+    state = jax.tree.map(lambda v: _match_vma(v, cost0), state)
 
     def active_of(s):
         return (~s["done"]) & (s["nfev"] < conf.maxfev)

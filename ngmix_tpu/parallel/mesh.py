@@ -3,8 +3,15 @@
 The workload is embarrassingly parallel at the object level (SURVEY
 2.3): stamps shard over a 1-d mesh axis, each chip runs the identical
 metacal+measure program on its slice, and only the O(1) calibration
-statistics (mean ellipticities, the response matrix R) cross chips -
-XLA lowers those reductions to psums riding the ICI.
+statistics (per-type ellipticity sums and counts) cross chips as
+explicit psums riding the ICI.
+
+The pipeline body runs under shard_map rather than jit auto-sharding:
+the batched LM's straggler compaction gathers lanes at data-dependent
+indices, and under auto-sharding XLA would have to conservatively turn
+those gathers into cross-chip collectives; shard_map pins them
+shard-local by construction (each chip compacts its own lanes), which
+is also bitwise-identical - compaction never changes per-lane results.
 
 The reference has no distributed layer at all; it farms processes
 externally. Here a 100k-stamp catalog on a v5e-8 pod slice is one jit.
@@ -13,7 +20,18 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..batch import MetacalConfig, metacal_pipeline, shear_response
+try:  # jax >= 0.4.35 exports shard_map at the top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from ..batch import (
+    MetacalConfig,
+    metacal_pipeline,
+    shear_response,
+    shear_response_from_sums,
+    shear_response_sums,
+)
 
 
 def make_mesh(devices=None, axis_name="batch"):
@@ -27,28 +45,32 @@ def make_sharded_pipeline_fn(conf: MetacalConfig, mesh, measure="gaussmom",
                              measure_fwhm=1.2, axis_name="batch"):
     """jitted pipeline with the stamp axis sharded over the mesh.
 
-    Inputs are placed with batch-axis sharding; the per-stamp results
-    stay sharded while the calibration statistics (shear_response) are
-    replicated - XLA inserts the cross-chip reductions.
+    Each device runs the full pipeline on its local slice (shard_map);
+    per-stamp results come back batch-sharded while the calibration
+    statistics are psum'd across the mesh and replicated. The batch
+    must divide by the mesh size.
     """
     batch_sharding = NamedSharding(mesh, P(axis_name))
-    replicated = NamedSharding(mesh, P())
 
-    def step(images, weights, cens, psf_images, psf_cens, noise):
+    def local_step(images, weights, cens, psf_images, psf_cens, noise):
         results = metacal_pipeline(
             images, weights, cens, psf_images, psf_cens, noise, conf,
             measure=measure, measure_fwhm=measure_fwhm,
         )
-        calib = shear_response(results, step=conf.step)
+        local = shear_response_sums(results)
+        total = jax.tree.map(
+            lambda x: jax.lax.psum(x, axis_name), local
+        )
+        calib = shear_response_from_sums(total, step=conf.step)
         return results, calib
 
-    in_shardings = tuple([batch_sharding] * 6)
-    fn = jax.jit(
-        step,
-        in_shardings=in_shardings,
-        out_shardings=(batch_sharding, replicated),
+    smapped = _shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * 6,
+        out_specs=(P(axis_name), P()),
     )
-    return fn, batch_sharding
+    return jax.jit(smapped), batch_sharding
 
 
 def sharded_shear_response(results, mesh, step=0.01, axis_name="batch"):

@@ -50,3 +50,22 @@ def get_ratio_error(a, b, var_a, var_b, cov_ab):
     """error on a/b, clipped at 0"""
     var = get_ratio_var(a, b, var_a, var_b, cov_ab)
     return jnp.sqrt(jnp.clip(var, 0.0, jnp.inf))
+
+
+def match_vma(x, ref):
+    """annotate x as varying over the mesh axes ref varies over.
+
+    jax 0.9's shard_map tracks varying-across-mesh (vma) types: a
+    while_loop carry initialized from constants would type-mismatch its
+    body output, which inherits vma from the sharded data. Wrap the
+    carry pytree with jax.tree.map(lambda v: match_vma(v, <data>), s).
+    Only the axes x is missing are added; no-op outside shard_map.
+    """
+    import jax
+
+    want = set(getattr(jax.typeof(ref), "vma", ()))
+    have = set(getattr(jax.typeof(x), "vma", ()))
+    need = tuple(want - have)
+    if not need:
+        return x
+    return jax.lax.pcast(x, need, to="varying")

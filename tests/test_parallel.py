@@ -48,3 +48,37 @@ def test_sharded_pipeline_matches_single_device():
         s.device for s in res_sharded["noshear"]["e1"].addressable_shards
     }
     assert len(shard_devs) == 8
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device test mesh"
+)
+@pytest.mark.parametrize("measure", ["admom", "exp-lm"])
+def test_sharded_pipeline_iterative_measures(measure):
+    """the while_loop solvers (admom, LM with straggler compaction) run
+    shard-local under shard_map and match the single-device pipeline"""
+    rng = np.random.RandomState(11)
+    args = _sim_batch(rng, 16)
+
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2,
+    )
+    res_single = metacal_pipeline(*args, conf, measure=measure)
+    calib_single = shear_response(res_single)
+
+    mesh = make_mesh(jax.devices()[:8])
+    fn, batch_sharding = make_sharded_pipeline_fn(conf, mesh, measure=measure)
+    sharded_args = tuple(jax.device_put(a, batch_sharding) for a in args)
+    res_sharded, calib_sharded = fn(*sharded_args)
+
+    ok = np.asarray(res_single["noshear"]["flags"]) == 0
+    assert np.allclose(
+        np.asarray(res_sharded["noshear"]["e1"])[ok],
+        np.asarray(res_single["noshear"]["e1"])[ok],
+        rtol=1e-6, atol=1e-8,
+    )
+    assert np.allclose(
+        np.asarray(calib_sharded["R"]), np.asarray(calib_single["R"]),
+        rtol=1e-5,
+    )
