@@ -1004,6 +1004,11 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
     out["e1"] = out["pars"][:, 2]
     out["e2"] = out["pars"][:, 3]
     out["T"] = out["pars"][:, 4]
+    # single-band fluxes match the flat pipeline's [B] key so mixed
+    # 1-epoch/multi-epoch ragged buckets merge; multi-band keeps [B, nband]
+    out["flux"] = (
+        out["pars"][:, 5] if nband == 1 else out["pars"][:, 5:]
+    )
 
     results = {}
     for i, t in enumerate(conf.types):

@@ -21,6 +21,8 @@ replaces compaction with *bucketing + masking*:
 Entry points: pack_ragged (grouping + padding) and
 metacal_pipeline_ragged (per-bucket pipeline + reassembly).
 """
+import logging
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -28,6 +30,8 @@ import jax.numpy as jnp
 from .batch import MetacalConfig, metacal_pipeline, metacal_pipeline_mb
 
 __all__ = ["pack_ragged", "metacal_pipeline_ragged"]
+
+logger = logging.getLogger(__name__)
 
 
 def _as_epoch_list(x):
@@ -243,9 +247,27 @@ def metacal_pipeline_ragged(catalog, conf: MetacalConfig,
                 }
                 for t, tres in res.items()
             }
+        # merge the COMMON table keys: a catalog can mix flat
+        # (1-epoch) and multi-epoch buckets whose pipelines report
+        # slightly different key sets; keys missing from (or
+        # shape-incompatible with) any bucket are dropped from the
+        # catalog table rather than raising
         for t, tres in res.items():
-            for k, dst in merged[t].items():
-                dst[b["indices"]] = np.asarray(tres[k])
+            for k in list(merged[t]):
+                v = tres.get(k)
+                dst = merged[t][k]
+                if (
+                    v is None
+                    or not hasattr(v, "shape")
+                    or v.shape[1:] != dst.shape[1:]
+                ):
+                    logger.debug(
+                        "dropping result key %s/%s: not reported by "
+                        "every bucket", t, k,
+                    )
+                    del merged[t][k]
+                    continue
+                dst[b["indices"]] = np.asarray(v)
 
     merged["psf_sigma"] = psf_sigma
     return merged

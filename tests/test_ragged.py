@@ -191,3 +191,30 @@ def test_ragged_multiband():
     # the band-1-only object has an unconstrained band-0 flux: the
     # singular normal matrix must FLAG, not silently pass
     assert flags[2] != 0
+
+
+def test_ragged_mixed_flat_and_multiepoch_buckets():
+    """a catalog mixing 1-epoch objects (flat pipeline) with
+    multi-epoch objects (joint multi-epoch pipeline) merges on the
+    common table keys instead of raising (regression: the flat
+    pipeline reports keys like 'flux' the mb pipeline's raw output
+    lacked, and the merge assumed identical key sets)"""
+    rng = np.random.RandomState(17)
+    cat = (
+        [_one_object(rng, (33, 33), nepoch=1) for _ in range(3)]
+        + [_one_object(rng, (49, 49), nepoch=2) for _ in range(2)]
+    )
+    conf = MetacalConfig(
+        dims=(33, 33), psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2,
+    )
+    res = metacal_pipeline_ragged(cat, conf, measure="exp-lm")
+    for t in ("noshear", "1p", "1m", "2p", "2m"):
+        assert res[t]["pars"].shape[0] == 5
+        assert res[t]["flux"].shape == (5,)
+        assert np.all(res[t]["flags"] == 0)
+        # both bucket kinds recover the common flux
+        assert np.allclose(res[t]["flux"], 100.0, rtol=0.05)
+    # psf_sigma stays a ragged per-object list
+    assert len(res["psf_sigma"]) == 5
+    assert res["psf_sigma"][4].shape == (2,)
