@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ngmix_tpu import DiagonalJacobian, GMixModel
 from ngmix_tpu.batch import (
@@ -377,3 +378,28 @@ def test_batch_pipeline_sheared_wcs_independent_profile():
         assert int(np.sum(np.asarray(res["noshear"]["flags"]) != 0)) == 0
         assert abs(m) < 1e-3, (measure, m)
         assert abs(c) < 5e-4, (measure, c)
+
+
+@pytest.mark.parametrize("measure", ["gaussmom", "admom", "exp-lm"])
+def test_pipeline_fully_masked_lane_flags_not_nans(measure):
+    """a stamp with zero weight everywhere must come out FLAGGED and be
+    excluded from the calibration, which stays finite; partially
+    masked stamps still fit"""
+    rng = np.random.RandomState(4)
+    args = list(_sim_batch(rng, 8))
+    w = np.array(args[1])
+    w[0] = 0.0
+    w[1, :, ::2] = 0.0
+    args[1] = jnp.asarray(w)
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2,
+    )
+    res = metacal_pipeline(*args, conf, measure=measure)
+    flags = np.asarray(res["noshear"]["flags"])
+    assert flags[0] != 0
+    assert np.all(flags[1:] == 0)
+    calib = shear_response(res)
+    assert int(calib["n_used"]) == 7
+    assert np.all(np.isfinite(np.asarray(calib["shear"])))
+    assert np.all(np.isfinite(np.asarray(calib["R"])))
