@@ -260,17 +260,30 @@ def _scale_axis_matmul(A, b, axis, shift=None):
     """
     N = A.shape[axis]
     mf = np.fft.fftfreq(N, d=1.0 / N)  # signed indices, fft order
-    Ahat = fft_axis(A, axis=axis)
-    if shift is not None:
-        mf_shape = [1] * A.ndim
-        mf_shape[axis] = N
-        mfa = jnp.asarray(mf, A.real.dtype).reshape(mf_shape)
-        Ahat = Ahat * jnp.exp(2j * jnp.pi * mfa * shift / N)
     # W computed in float64 on host precision then cast: the exponent
     # b*m*j/N reaches ~N/4 cycles and f32 phase arithmetic would lose
     # ~1e-4 there
     W = np.exp((2j * np.pi * float(b) / N) * np.outer(mf, mf)) / N
-    W = jnp.asarray(W, Ahat.dtype)
+    cdtype = jnp.result_type(A.dtype, np.complex64)
+    if shift is None:
+        # no shear phase between the forward transform and the
+        # evaluation: fold the FFT into the constant matrix (one MXU
+        # matmul replaces fft + matmul). This is the 1p/1m case under
+        # a diagonal WCS - a pure axis scaling.
+        F = np.exp((-2j * np.pi / N) * np.outer(mf, np.arange(N)))
+        Wt = jnp.asarray(F.T @ W, cdtype)
+        moved = jnp.moveaxis(A, axis, -1)
+        out = jnp.einsum(
+            "...m,mj->...j", moved, Wt,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.moveaxis(out, -1, axis)
+    Ahat = fft_axis(A, axis=axis)
+    mf_shape = [1] * A.ndim
+    mf_shape[axis] = N
+    mfa = jnp.asarray(mf, A.real.dtype).reshape(mf_shape)
+    Ahat = Ahat * jnp.exp(2j * jnp.pi * mfa * shift / N)
+    W = jnp.asarray(W, cdtype)
     moved = jnp.moveaxis(Ahat, axis, -1)
     out = jnp.einsum(
         "...m,mj->...j", moved, W, precision=jax.lax.Precision.HIGHEST
