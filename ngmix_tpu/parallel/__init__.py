@@ -1,5 +1,6 @@
 from .mesh import (  # noqa: F401
     make_mesh,
+    make_sharded_mb_pipeline_fn,
     make_sharded_pipeline_fn,
     sharded_shear_response,
 )

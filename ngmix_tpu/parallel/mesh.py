@@ -73,6 +73,40 @@ def make_sharded_pipeline_fn(conf: MetacalConfig, mesh, measure="gaussmom",
     return jax.jit(smapped), batch_sharding
 
 
+def make_sharded_mb_pipeline_fn(conf: MetacalConfig, mesh, band, nband,
+                                axis_name="batch", **pipeline_kw):
+    """multi-band multi-epoch pipeline sharded over the object axis.
+
+    band: [E] per-epoch band assignment, shared by all objects
+    (replicated across the mesh); everything else shards on axis 0 as
+    in make_sharded_pipeline_fn.
+    """
+    from ..batch import metacal_pipeline_mb
+
+    batch_sharding = NamedSharding(mesh, P(axis_name))
+    band = jax.numpy.asarray(band)
+
+    def local_step(images, weights, cens, psf_images, psf_cens, noise):
+        results = metacal_pipeline_mb(
+            images, weights, cens, psf_images, psf_cens, noise,
+            band, nband, conf, **pipeline_kw,
+        )
+        local = shear_response_sums(results)
+        total = jax.tree.map(
+            lambda x: jax.lax.psum(x, axis_name), local
+        )
+        calib = shear_response_from_sums(total, step=conf.step)
+        return results, calib
+
+    smapped = _shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * 6,
+        out_specs=(P(axis_name), P()),
+    )
+    return jax.jit(smapped), batch_sharding
+
+
 def sharded_shear_response(results, mesh, step=0.01, axis_name="batch"):
     """replicated calibration statistics from sharded per-stamp results"""
     replicated = NamedSharding(mesh, P())

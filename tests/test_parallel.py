@@ -82,3 +82,43 @@ def test_sharded_pipeline_iterative_measures(measure):
         np.asarray(calib_sharded["R"]), np.asarray(calib_single["R"]),
         rtol=1e-5,
     )
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device test mesh"
+)
+def test_sharded_mb_pipeline_matches_single_device():
+    """the multi-band multi-epoch pipeline shards over objects with a
+    replicated band vector and matches the single-device run"""
+    from ngmix_tpu.batch import metacal_pipeline_mb
+    from ngmix_tpu.parallel import make_sharded_mb_pipeline_fn
+
+    rng = np.random.RandomState(23)
+    B, E, nband = 16, 3, 2
+    flat = _sim_batch(rng, B)
+    args = tuple(jnp.repeat(a[:, None], E, axis=1) for a in flat)
+    band = jnp.asarray([0, 0, 1])
+
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2,
+    )
+    res_single = metacal_pipeline_mb(*args, band, nband, conf)
+    calib_single = shear_response(res_single)
+
+    mesh = make_mesh(jax.devices()[:8])
+    fn, sharding = make_sharded_mb_pipeline_fn(conf, mesh, band, nband)
+    sharded_args = tuple(jax.device_put(a, sharding) for a in args)
+    res_sharded, calib_sharded = fn(*sharded_args)
+
+    ok = np.asarray(res_single["noshear"]["flags"]) == 0
+    assert ok.any()
+    assert np.allclose(
+        np.asarray(res_sharded["noshear"]["e1"])[ok],
+        np.asarray(res_single["noshear"]["e1"])[ok],
+        rtol=1e-6, atol=1e-8,
+    )
+    assert np.allclose(
+        np.asarray(calib_sharded["R"]), np.asarray(calib_single["R"]),
+        rtol=1e-5,
+    )
