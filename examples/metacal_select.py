@@ -16,18 +16,18 @@ import sys
 
 import jax
 
-try:
-    jax.config.update("jax_platforms", "cpu")
-except Exception:
-    pass
-jax.config.update("jax_enable_x64", True)
+# this is a BATCHED pipeline demo: run on the default accelerator.
+# x64 only on cpu (the TPU pipeline is validated in f32; x64 there
+# would run emulated)
+if jax.default_backend() == "cpu":
+    jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 import numpy as np
 
 from ngmix_tpu.batch import (
     MetacalConfig,
-    metacal_pipeline,
+    make_metacal_pipeline_fn,
     shear_response_select,
 )
 from ngmix_tpu.gmix import core as gcore
@@ -84,7 +84,9 @@ def main(B=4000):
         dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0.0, 0.0, SCALE),
         fixnoise=True, pad_factor=2,
     )
-    res = metacal_pipeline(*args, conf, measure="gaussmom")
+    # jitted: eager complex ops (fft) are unimplemented on some
+    # accelerator backends, and this is the fast path anyway
+    res = make_metacal_pipeline_fn(conf, measure="gaussmom")(*args)
 
     s2n_cut = float(np.median(np.asarray(res["noshear"]["s2n"])))
 
