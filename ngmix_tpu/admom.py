@@ -148,6 +148,12 @@ def admom_single(pixels, wt0, conf: AdmomConf):
     (p, row, col, irr, irc, icc). Returns a dict of raw results (the
     analog of the reference's _admom_result_dtype).
     """
+    # materialize the loop-invariant inputs: without the barrier XLA
+    # may FUSE whatever produced the pixels (e.g. a whole jitted
+    # sim+metacal stage) into the while_loop body and recompute it
+    # every iteration (measured: a fused sim+admom program ran 1000x
+    # slower than sim-then-admom as separate dispatches)
+    pixels, wt0 = jax.lax.optimization_barrier((pixels, wt0))
     dtype = pixels.val.dtype
     zero_sums = jnp.zeros(_NSUMS, dtype=dtype)
 

@@ -409,6 +409,12 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
     else:
         conf_fit = conf
     pixels = make_pixels_batch(ims_all, wt_all, cens_all, conf_fit)
+    # materialize the measured pixels: without the barrier the TPU
+    # compiler may fuse the whole upstream k-space stage into a
+    # measure's while_loop body and recompute it EVERY iteration
+    # (measured: a sim+metacal+admom program fused into one jit ran
+    # ~1000x slower than the same stages as separate dispatches)
+    pixels = jax.lax.optimization_barrier(pixels)
 
     if measure == "gaussmom":
         res_all = gaussmom_measure(pixels, measure_fwhm, area)

@@ -98,6 +98,11 @@ def em_single(pixels, gmix0, gmix_psf, sky, conf: EMConf):
     it — see prep_obs). Returns dict with gmix (pre-psf), gmix_conv,
     numiter, fdiff, sky, flags.
     """
+    # materialize loop-invariant inputs so the compiler cannot fuse
+    # their producers into the while_loop body (see admom_single)
+    pixels, gmix0, gmix_psf = jax.lax.optimization_barrier(
+        (pixels, gmix0, gmix_psf)
+    )
     dtype = pixels.val.dtype
     n = gmix0.shape[-2]
     m = gmix_psf.shape[-2]

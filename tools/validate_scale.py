@@ -6,7 +6,7 @@ uncertainty. Calibration statistics (per-type e1 sums, counts, e1^2)
 accumulate ON DEVICE - only O(1) scalars cross the tunnel at the end,
 the same pattern the sharded pipeline psums across chips.
 
-Run: python tools/validate_scale.py [batch] [nbatch]
+Run: python tools/validate_scale.py [batch] [nbatch] [measure]
 
 Measured on TPU v5e (2026-08, post small-linalg cholesky, pad 1.3):
 1,044,480 stamps in 36 s steady-state (28.8k stamps/s sustained,
@@ -31,7 +31,7 @@ from ngmix_tpu.batch import (  # noqa: E402
 TYPES = ("noshear", "1p", "1m", "2p", "2m")
 
 
-def main(Bsz=2048, nbatch=50):
+def main(Bsz=2048, nbatch=50, measure="exp-lm"):
     conf = MetacalConfig(
         dims=B.DIMS, psf_dims=B.PSF_DIMS, jac=(B.SCALE, 0.0, 0.0, B.SCALE),
         fixnoise=True, pad_factor=1.3, fit_dims=(19, 19),
@@ -42,7 +42,7 @@ def main(Bsz=2048, nbatch=50):
         """simulate one batch, run the pipeline, fold the calibration
         sums into the device accumulator"""
         args = B.make_sim_batch(key, Bsz)
-        res = metacal_pipeline(*args, conf, measure="exp-lm")
+        res = metacal_pipeline(*args, conf, measure=measure)
         for i, t in enumerate(TYPES):
             ok = res[t]["flags"] == 0
             e1 = jnp.where(ok, res[t]["e1"], 0.0)
@@ -86,4 +86,5 @@ def main(Bsz=2048, nbatch=50):
 if __name__ == "__main__":
     Bsz = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     nbatch = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    main(Bsz, nbatch)
+    measure = sys.argv[3] if len(sys.argv) > 3 else "exp-lm"
+    main(Bsz, nbatch, measure)
