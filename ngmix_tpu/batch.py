@@ -409,12 +409,13 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
     else:
         conf_fit = conf
     pixels = make_pixels_batch(ims_all, wt_all, cens_all, conf_fit)
-    # materialize the measured pixels: without the barrier the TPU
-    # compiler may fuse the whole upstream k-space stage into a
-    # measure's while_loop body and recompute it EVERY iteration
-    # (measured: a sim+metacal+admom program fused into one jit ran
-    # ~1000x slower than the same stages as separate dispatches)
-    pixels = jax.lax.optimization_barrier(pixels)
+    # NOTE on fusion: the while_loop solvers guard their own
+    # loop-invariant inputs with optimization_barrier (admom_single,
+    # em_single) so the TPU compiler cannot fuse this whole upstream
+    # k-space stage into a loop body and recompute it per iteration.
+    # Do NOT add a pipeline-level barrier here: at B=6144 it triggered
+    # an XLA TPU miscompile (1169 deterministic garbage moments
+    # guesses in the noshear slice; fine at B=2048, fine on CPU).
 
     if measure == "gaussmom":
         res_all = gaussmom_measure(pixels, measure_fwhm, area)
