@@ -8,12 +8,15 @@ the same pattern the sharded pipeline psums across chips.
 
 Run: python tools/validate_scale.py [batch] [nbatch] [measure]
 
-Measured on TPU v5e (2026-08, post small-linalg cholesky, pad 1.3):
-1,044,480 stamps in 36 s steady-state (28.8k stamps/s sustained,
-simulation included - sim and pipeline overlap through async
-dispatch): R11 = 0.9996, m = 3.95e-4 +/- 3.7e-6 (99.7%) - the
-reference's method-intrinsic residual (test_metacal_accuracy asserts
-m ~ 3.4e-4 +/- 1e-4) resolved at ~25x finer precision.
+Measured on TPU v5e (2026-08, post small-linalg cholesky, pad 1.3),
+sustained rates INCLUDE the on-device simulation (overlapped through
+async dispatch). All estimators land at the reference's
+method-intrinsic residual (test_metacal_accuracy asserts
+m ~ 3.4e-4 +/- 1e-4), resolved 15-25x finer:
+
+  exp-lm    1,044,480 stamps  28.8k/s  m = 3.95e-4 +/- 3.7e-6 (99.7%)
+  admom       522,240 stamps  63.6k/s  m = 4.48e-4 +/- 5.1e-6
+  gauss-lm    215,040 stamps  38.2k/s  m = 3.32e-4 +/- 6.8e-6
 """
 import sys
 import time
