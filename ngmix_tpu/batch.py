@@ -747,14 +747,21 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
 
 
 def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
-                             measure_fwhm=1.2):
-    """jitted batched pipeline closure"""
+                             measure_fwhm=1.2, lm_conf=None,
+                             lm_prior=None, lm_bounds=None):
+    """jitted batched pipeline closure.
+
+    lm_conf / lm_prior / lm_bounds pass through to the LM measures
+    (see metacal_pipeline): production fits are typically
+    prior-regularized and bounded.
+    """
 
     @jax.jit
     def fn(images, weights, cens, psf_images, psf_cens, noise):
         return metacal_pipeline(
             images, weights, cens, psf_images, psf_cens, noise, conf,
-            measure=measure, measure_fwhm=measure_fwhm,
+            measure=measure, measure_fwhm=measure_fwhm, lm_conf=lm_conf,
+            lm_prior=lm_prior, lm_bounds=lm_bounds,
         )
 
     return fn
