@@ -6,6 +6,7 @@ import pytest
 from ngmix_tpu import DiagonalJacobian, GMixModel
 from ngmix_tpu.batch import (
     MetacalConfig,
+    make_metacal_pipeline_fn,
     metacal_pipeline,
     metacal_pipeline_mb,
     shear_response,
@@ -403,3 +404,36 @@ def test_pipeline_fully_masked_lane_flags_not_nans(measure):
     assert int(calib["n_used"]) == 7
     assert np.all(np.isfinite(np.asarray(calib["shear"])))
     assert np.all(np.isfinite(np.asarray(calib["R"])))
+
+
+def test_pipeline_fn_prior_bounds_passthrough():
+    """make_metacal_pipeline_fn forwards lm_prior/lm_bounds to the LM
+    measure (production fits are prior-regularized and bounded)"""
+    from ngmix_tpu.joint_prior import PriorSimpleSep
+    from ngmix_tpu.priors import CenPrior, FlatPrior, GPriorBA
+
+    rng = np.random.RandomState(3)
+    args = _sim_batch(rng, 8)
+    prior = PriorSimpleSep(
+        cen_prior=CenPrior(0.0, 0.0, 0.1, 0.1, rng=rng),
+        g_prior=GPriorBA(0.3, rng=rng),
+        T_prior=FlatPrior(0.01, 10.0, rng=rng),
+        F_prior=FlatPrior(1e-4, 1e4, rng=rng),
+    )
+    lo = np.array([-2, -2, -0.99, -0.99, 0.011, 1e-3])
+    hi = np.array([2, 2, 0.99, 0.99, 9.9, 1e3])
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2,
+    )
+    fn = make_metacal_pipeline_fn(
+        conf, measure="exp-lm", lm_prior=prior, lm_bounds=(lo, hi)
+    )
+    res = fn(*args)
+    flags = np.asarray(res["noshear"]["flags"])
+    assert np.all(flags == 0)
+    pars = np.asarray(res["noshear"]["pars"])
+    assert np.all(pars >= lo) and np.all(pars <= hi)
+    # prior-regularized fits still recover the applied g1 ~ 0.02 in
+    # the e ~ 2g convention at this s2n
+    assert abs(np.mean(np.asarray(res["noshear"]["e1"])) - 0.02) < 0.01
