@@ -607,6 +607,61 @@ def _exp_normal_fn(pars, planes, psf_gmix, interpret=False,
     return cost, Jtr, JtJ
 
 
+def _moments_lm_guess(pixels, Tpsf, guess_fwhm=1.2):
+    """batched LM starting guesses from one cheap gaussian
+    weighted-moments pass: measured centroid and (halved) shape, the
+    deweighted size with the psf subtracted, and the masked pixel sum
+    as the flux scale. Shared by the flat and multi-band pipelines so
+    an E=1/nband=1 mb fit starts from the identical point.
+
+    pixels: batched Pixels with fields [B, npix]. Tpsf: [B] psf T to
+    subtract from the deweighted size. Returns (guess5 [B, 5], the
+    first five parameter columns, and wsum [B], the per-band flux
+    scale the caller expands to its band layout).
+    """
+    from .moments import fwhm_to_T
+
+    B = pixels.val.shape[0]
+    dtype = pixels.val.dtype
+    wt = jnp.zeros((B, 1, 6), dtype)
+    Tw = float(fwhm_to_T(guess_fwhm))
+    wt = wt.at[:, 0, 0].set(2 * np.pi * Tw / 2)
+    wt = wt.at[:, 0, 3].set(Tw / 2)
+    wt = wt.at[:, 0, 5].set(Tw / 2)
+    msums = gcore.get_weighted_sums(
+        wt, pixels, maxrad=1.0e9, with_cov=False
+    )
+    s = msums["sums"]
+    mf = s[..., 5]
+    mf_safe = jnp.where(mf > 0, mf, 1.0)
+    cen_v = s[..., 0] / mf_safe
+    cen_u = s[..., 1] / mf_safe
+    mt = s[..., 4] / mf_safe
+    e1 = jnp.clip(
+        s[..., 2] / jnp.where(s[..., 4] > 0, s[..., 4], 1.0), -0.5, 0.5
+    )
+    e2 = jnp.clip(
+        s[..., 3] / jnp.where(s[..., 4] > 0, s[..., 4], 1.0), -0.5, 0.5
+    )
+    # deweight the measured size and remove the psf
+    Tmeas = jnp.clip(mt, 0.05, None)
+    Tdew = 1.0 / jnp.clip(1.0 / Tmeas - 1.0 / Tw, 0.05, None)
+    Tguess = jnp.clip(Tdew - Tpsf, 0.05, None)
+
+    wsum = jnp.sum(pixels.val * (pixels.ierr > 0), axis=-1)
+    guess5 = jnp.stack(
+        [cen_v, cen_u, 0.5 * e1, 0.5 * e2, Tguess], axis=-1
+    )
+    return guess5, wsum
+
+
+def _clamp_guess_in_bounds(guess, lo, hi):
+    """clamp guesses strictly inside the box so the MINUIT transform
+    starts in the interior"""
+    span = jnp.where(jnp.isfinite(hi - lo), hi - lo, jnp.ones_like(hi))
+    return jnp.clip(guess, lo + 1.0e-3 * span, hi - 1.0e-3 * span)
+
+
 def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
                     use_pallas=None, interpret=False,
                     compact_capacity="auto", model="exp",
@@ -653,47 +708,11 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
 
     # moments-based starting guesses (skipped when the caller supplies
     # them, e.g. warm starts from the noshear fit)
-    from .moments import fwhm_to_T
-
     if guess is None:
-        wt = jnp.zeros((B, 1, 6), dtype)
-        Tw = float(fwhm_to_T(guess_fwhm))
-        wt = wt.at[:, 0, 0].set(2 * np.pi * Tw / 2)
-        wt = wt.at[:, 0, 3].set(Tw / 2)
-        wt = wt.at[:, 0, 5].set(Tw / 2)
-        msums = gcore.get_weighted_sums(
-            wt, pixels, maxrad=1.0e9, with_cov=False
+        guess5, wsum = _moments_lm_guess(
+            pixels, p_irr + p_icc, guess_fwhm
         )
-        s = msums["sums"]
-        mf = s[..., 5]
-        mf_safe = jnp.where(mf > 0, mf, 1.0)
-        cen_v = s[..., 0] / mf_safe
-        cen_u = s[..., 1] / mf_safe
-        mt = s[..., 4] / mf_safe
-        e1 = jnp.clip(
-            s[..., 2] / jnp.where(s[..., 4] > 0, s[..., 4], 1.0), -0.5, 0.5
-        )
-        e2 = jnp.clip(
-            s[..., 3] / jnp.where(s[..., 4] > 0, s[..., 4], 1.0), -0.5, 0.5
-        )
-        # deweight the measured size and remove the psf
-        Tmeas = jnp.clip(mt, 0.05, None)
-        Tdew = 1.0 / jnp.clip(1.0 / Tmeas - 1.0 / Tw, 0.05, None)
-        Tpsf = p_irr + p_icc
-        Tguess = jnp.clip(Tdew - Tpsf, 0.05, None)
-
-        wsum = jnp.sum(pixels.val * (pixels.ierr > 0), axis=-1)
-        guess = jnp.stack(
-            [
-                cen_v,
-                cen_u,
-                0.5 * e1,
-                0.5 * e2,
-                Tguess,
-                wsum,
-            ],
-            axis=-1,
-        )
+        guess = jnp.concatenate([guess5, wsum[:, None]], axis=-1)
     else:
         guess = jnp.asarray(guess, dtype)
     if bounds is None:
@@ -702,12 +721,7 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
     else:
         lo = jnp.asarray(bounds[0], dtype)
         hi = jnp.asarray(bounds[1], dtype)
-        # clamp the moments-derived guesses strictly inside the box so
-        # the MINUIT transform starts in the interior
-        span = jnp.where(
-            jnp.isfinite(hi - lo), hi - lo, jnp.ones_like(hi)
-        )
-        guess = jnp.clip(guess, lo + 1.0e-3 * span, hi - 1.0e-3 * span)
+        guess = _clamp_guess_in_bounds(guess, lo, hi)
 
     # Measured on TPU v5e (B=5120, P=625, n=6): the fused kernel runs
     # 7.3 ms/iteration vs 8.2 ms for the ENTIRE AD iteration - Mosaic
@@ -774,6 +788,13 @@ def shear_response_sums(results):
     reconstructs the global shear_response - the only data that needs
     to cross the ICI in the sharded pipeline.
     """
+    missing = [t for t in GALSHEAR_TYPES if t not in results]
+    if missing:
+        raise ValueError(
+            "shear_response needs all five galshear metacal types; "
+            "results lack %s (run with types including %s)"
+            % (missing, GALSHEAR_TYPES)
+        )
     out = {}
     for t in GALSHEAR_TYPES:
         ok = results[t]["flags"] == 0
@@ -900,15 +921,37 @@ def shear_response_select(results, select_fn, step=DEFAULT_STEP):
 # multi-epoch / multi-band pipeline (MEDS-style)
 
 def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
-                        band, nband, conf: MetacalConfig, lm_conf=None):
-    """metacal + multi-band multi-epoch exp LM fits.
+                        band, nband, conf: MetacalConfig, lm_conf=None,
+                        measure="exp-lm", measure_fwhm=1.2,
+                        lm_prior=None, lm_bounds=None):
+    """metacal + multi-band multi-epoch measurement (MEDS-style).
 
     images [B, E, H, W] with E epochs per object spanning ``nband``
     bands (band [E], or [B, E] when epoch->band assignment varies per
     object); weights/cens/psf data follow. Each epoch's metacal image
     set is built independently (the epoch axis folds into the batch
-    axis for the k-space engine); the measurement is a single vmapped
-    multi-band LM fit per type with npars = 5 + nband.
+    axis for the k-space engine).
+
+    measure: "<model>-lm" with model in gauss/exp/dev - a single
+    joint multi-band LM fit per type with npars = 5 + nband (the
+    reference runs the same joint fit through the metacal bootstrap,
+    ngmix/metacal/bootstrap.py:63-119 with multi-band pars sliced per
+    band, ngmix/fitting/results.py:1013-1047) - or "gaussmom"/"admom"
+    (nband=1 only), which POOL the weighted-moment sums over all
+    epochs: the epochs live in one sky frame, so summing their pixel
+    contributions is the moment-space coadd, exact for matched target
+    psfs. The pre-psf k-space measures (pgauss/ksigma) need a
+    per-epoch deconvolution and are not defined for pooled epochs -
+    they raise; measure each epoch through the flat pipeline instead.
+
+    lm_prior / lm_bounds regularize the LM measures exactly as in the
+    flat pipeline (the prior must be built for ``nband`` flux slots,
+    e.g. PriorSimpleSep with a list of F priors). Starting guesses
+    come from the same pooled weighted-moments pass the flat pipeline
+    uses, with per-band flux scales. Under psf_mode='dilate' the
+    reconvolution target is the dilated original psf; the LM psf model
+    is then a per-epoch per-type gaussian fit of the rendered target
+    stamps, exactly as in the flat pipeline.
 
     Ragged epoch counts are handled by masking: pad epochs carry zero
     weight (ierr=0 -> zero residual rows and zero normal-equation
@@ -917,16 +960,44 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
     """
     from .fitting.fit_model import FitData, make_fdiff_fn
 
+    is_lm = measure.endswith("-lm") and measure[:-3] in _MODEL_FILLS
+    if not is_lm:
+        if measure in ("pgauss", "ksigma"):
+            raise ValueError(
+                "pre-psf moments (%s) need a per-epoch psf "
+                "deconvolution and cannot pool epochs; run each epoch "
+                "through the flat metacal_pipeline or use an LM "
+                "measure for joint multi-epoch fits" % measure
+            )
+        if measure not in ("gaussmom", "admom"):
+            raise ValueError("bad measure: %s" % measure)
+        if nband != 1:
+            raise ValueError(
+                "moments measures pool the epochs of ONE band; got "
+                "nband=%d (use an LM measure for joint multi-band fits)"
+                % nband
+            )
+
     B, E = images.shape[:2]
 
     def fold(x):
         return x.reshape((B * E,) + x.shape[2:])
 
     psfdata = prepare_psf_kdata(fold(psf_images), fold(psf_cens), conf)
-    odict, sigma = metacal_image_set(
-        fold(images), fold(cens), fold(psf_images), fold(psf_cens), conf,
-        psfdata=psfdata,
-    )
+    # dilate mode: LM needs the rendered per-type target psf stamps
+    # for its psf model (the target is NOT an analytic gaussian)
+    need_psf_stamps = conf.psf_mode == "dilate" and is_lm
+    if need_psf_stamps:
+        odict, sigma, psfdict = metacal_image_set(
+            fold(images), fold(cens), fold(psf_images), fold(psf_cens),
+            conf, psfdata=psfdata, with_psf_images=True,
+        )
+    else:
+        odict, sigma = metacal_image_set(
+            fold(images), fold(cens), fold(psf_images), fold(psf_cens),
+            conf, psfdata=psfdata,
+        )
+        psfdict = None
     if conf.fixnoise:
         cen_c = jnp.full_like(fold(cens), (conf.dims[0] - 1) / 2.0)
         noise_rot = jnp.rot90(fold(noise), k=1, axes=(-2, -1))
@@ -939,24 +1010,12 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
         weights = weights * 0.5
 
     dilation = 1.0 + 2.0 * conf.step
-    sig_d = (sigma * dilation).reshape(B, E)
-
-    # analytic round target psf mixtures per epoch [B, E, 1, 6]
+    sig_d = sigma * dilation  # [B*E]
     dtype = images.dtype
-    psf_gmix = jnp.zeros((B, E, 1, 6), dtype)
-    psf_gmix = psf_gmix.at[..., 0, 0].set(1.0)
-    psf_gmix = psf_gmix.at[..., 0, 3].set(sig_d**2)
-    psf_gmix = psf_gmix.at[..., 0, 5].set(sig_d**2)
-
-    fdiff_fn = make_fdiff_fn("exp")
-    npars = 5 + nband
-    lo = jnp.full(npars, -jnp.inf, dtype)
-    hi = jnp.full(npars, jnp.inf, dtype)
-    conf_lm = lm_conf or LMConf()
+    area = abs(conf.jac[0] * conf.jac[3] - conf.jac[1] * conf.jac[2])
 
     # stack the metacal types into the batch axis (one solver program,
-    # one straggler-compacted while_loop for all types) and fit with
-    # the normal-equation LM driver
+    # one straggler-compacted while_loop for all types)
     T = len(conf.types)
     ims_st = jnp.concatenate([odict[t] for t in conf.types], axis=0)
     wt_st = jnp.tile(fold(weights), (T, 1, 1))
@@ -972,57 +1031,137 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
         conf_fit = conf._replace(dims=(fh, fw))
     pixels = make_pixels_batch(ims_st, wt_st, cens_st, conf_fit)
     pixels = jax.tree.map(lambda x: x.reshape(T * B, E, -1), pixels)
-    band = jnp.asarray(band, jnp.int32)
-    if band.ndim == 1:
-        band_be = jnp.broadcast_to(band, (B, E))
+
+    if not is_lm:
+        # pool all epochs' pixels into one moments measurement: the
+        # weighted sums are additive over pixels in the shared sky
+        # frame, so this is the moment-space coadd
+        pix_flat = jax.tree.map(
+            lambda x: x.reshape(T * B, -1), pixels
+        )
+        if measure == "gaussmom":
+            out = gaussmom_measure(pix_flat, measure_fwhm, area)
+        else:
+            from .admom import AdmomConf, admom_batch
+            from .moments import fwhm_to_T
+
+            Tw = float(fwhm_to_T(measure_fwhm))
+            nb = pix_flat.val.shape[0]
+            wt0 = jnp.zeros((nb, 6), dtype)
+            wt0 = wt0.at[:, 0].set(1.0)
+            wt0 = wt0.at[:, 3].set(Tw / 2).at[:, 5].set(Tw / 2)
+            area_b = jnp.full((nb,), area, dtype)
+            out = admom_batch(pix_flat, wt0, area_b, AdmomConf())
     else:
-        band_be = band
-    data = FitData(
-        pixels=pixels,
-        psf_gmix=jnp.tile(psf_gmix, (T, 1, 1, 1)),
-        band=jnp.tile(band_be, (T, 1)),
-    )
+        model = measure[:-3]
+        # per-epoch psf second moments, per type under dilate (the
+        # psf-sheared types and the dilated target differ per type)
+        if psfdict is not None:
+            psf_moms_all = jnp.concatenate(
+                [
+                    _psf_moms_from_stamps(psfdict[t], conf, sig_d)
+                    for t in conf.types
+                ],
+                axis=0,
+            )  # [T*B*E, 3]
+        else:
+            psf_moms_all = jnp.tile(
+                jnp.stack(
+                    [sig_d**2, jnp.zeros_like(sig_d), sig_d**2], axis=-1
+                ),
+                (T, 1),
+            )
+        psf_moms = psf_moms_all.reshape(T * B, E, 3)
+        psf_gmix = jnp.zeros((T * B, E, 1, 6), dtype)
+        psf_gmix = psf_gmix.at[..., 0, 0].set(1.0)
+        psf_gmix = psf_gmix.at[..., 0, 3].set(psf_moms[..., 0])
+        psf_gmix = psf_gmix.at[..., 0, 4].set(psf_moms[..., 1])
+        psf_gmix = psf_gmix.at[..., 0, 5].set(psf_moms[..., 2])
 
-    wsum = jnp.sum(
-        pixels.val[:, 0] * (pixels.ierr[:, 0] > 0), axis=-1
-    )
-    guess = jnp.concatenate(
-        [
-            jnp.zeros((T * B, 4), dtype),
-            jnp.full((T * B, 1), 0.5, dtype),
-            jnp.broadcast_to(wsum[:, None], (T * B, nband)),
-        ],
-        axis=-1,
-    )
+        band = jnp.asarray(band, jnp.int32)
+        if band.ndim == 1:
+            band_be = jnp.broadcast_to(band, (B, E))
+        else:
+            band_be = band
+        band_st = jnp.tile(band_be, (T, 1))
+        data = FitData(pixels=pixels, psf_gmix=psf_gmix, band=band_st)
 
-    def mb_normal_fn(pars, d):
-        # jacfwd, not linearize + seeds: see _make_ad_normal_fn
-        def one(p, dd):
-            def f(q):
-                return fdiff_fn(q, dd)
+        # pooled moments-based guesses (identical to the flat path for
+        # E=1): per-band flux scale = mean per-epoch masked pixel sum.
+        # Pad epochs (no positive-weight pixels) are excluded from the
+        # guess statistics so padding a ragged object changes nothing.
+        pix_flat = jax.tree.map(
+            lambda x: x.reshape(T * B, -1), pixels
+        )
+        real_e = jnp.any(pixels.ierr > 0, axis=-1)  # [T*B, E]
+        nreal = jnp.maximum(jnp.sum(real_e, axis=-1), 1)
+        Tpsf = (
+            jnp.sum(
+                jnp.where(
+                    real_e, psf_moms[..., 0] + psf_moms[..., 2], 0.0
+                ),
+                axis=-1,
+            )
+            / nreal
+        )
+        guess5, _ = _moments_lm_guess(pix_flat, Tpsf)
+        wsum_e = jnp.sum(
+            pixels.val * (pixels.ierr > 0), axis=-1
+        )  # [T*B, E]
+        onehot = (
+            band_st[:, :, None] == jnp.arange(nband)[None, None, :]
+        ) & real_e[:, :, None]  # [T*B, E, nband]
+        nep_band = jnp.maximum(jnp.sum(onehot, axis=1), 1)
+        flux_guess = (
+            jnp.sum(wsum_e[:, :, None] * onehot, axis=1) / nep_band
+        )
+        guess = jnp.concatenate([guess5, flux_guess], axis=-1)
 
-            r = f(p)
-            J = jax.jacfwd(f)(p)
-            return jnp.sum(r * r), J.T @ r, J.T @ J
+        npars = 5 + nband
+        if lm_bounds is None:
+            lo = jnp.full(npars, -jnp.inf, dtype)
+            hi = jnp.full(npars, jnp.inf, dtype)
+        else:
+            lo = jnp.asarray(lm_bounds[0], dtype)
+            hi = jnp.asarray(lm_bounds[1], dtype)
+            guess = _clamp_guess_in_bounds(guess, lo, hi)
 
-        return jax.vmap(one)(pars, d)
+        fdiff_fn = make_fdiff_fn(model)
 
-    nres = jnp.sum(pixels.ierr > 0, axis=(-2, -1))
-    caps = tuple(
-        T * B // (2 ** i) for i in range(1, 8) if T * B // (2 ** i) >= 32
-    )
-    out = run_lm_normal_batched(
-        mb_normal_fn, data, guess, lo, hi, conf_lm, nres=nres,
-        compact_capacity=caps,
-    )
-    out["e1"] = out["pars"][:, 2]
-    out["e2"] = out["pars"][:, 3]
-    out["T"] = out["pars"][:, 4]
-    # single-band fluxes match the flat pipeline's [B] key so mixed
-    # 1-epoch/multi-epoch ragged buckets merge; multi-band keeps [B, nband]
-    out["flux"] = (
-        out["pars"][:, 5] if nband == 1 else out["pars"][:, 5:]
-    )
+        def mb_normal_fn(pars, d):
+            # jacfwd, not linearize + seeds: see _make_ad_normal_fn
+            def one(p, dd):
+                def f(q):
+                    return fdiff_fn(q, dd)
+
+                r = f(p)
+                J = jax.jacfwd(f)(p)
+                return jnp.sum(r * r), J.T @ r, J.T @ J
+
+            return jax.vmap(one)(pars, d)
+
+        nres = jnp.sum(pixels.ierr > 0, axis=(-2, -1))
+        caps = tuple(
+            T * B // (2 ** i)
+            for i in range(1, 8)
+            if T * B // (2 ** i) >= 32
+        )
+        prior_fn = (
+            None if lm_prior is None else lm_prior.fill_fdiff_device
+        )
+        out = run_lm_normal_batched(
+            mb_normal_fn, data, guess, lo, hi, lm_conf or LMConf(),
+            nres=nres, compact_capacity=caps, prior_fn=prior_fn,
+        )
+        out["e1"] = out["pars"][:, 2]
+        out["e2"] = out["pars"][:, 3]
+        out["T"] = out["pars"][:, 4]
+        # single-band fluxes match the flat pipeline's [B] key so mixed
+        # 1-epoch/multi-epoch ragged buckets merge; multi-band keeps
+        # [B, nband]
+        out["flux"] = (
+            out["pars"][:, 5] if nband == 1 else out["pars"][:, 5:]
+        )
 
     results = {}
     for i, t in enumerate(conf.types):

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from .jacobian import DiagonalJacobian
 from .metacal import kops
 from .observation import (
-    MetadataMixin,
+    _HasMetadata,
     MultiBandObsList,
     Observation,
     ObsList,
@@ -35,7 +35,7 @@ __all__ = [
 DEFAULT_XINTERP = "lanczos15"  # kept for API parity; unused (exact FFTs)
 
 
-class KObservation(MetadataMixin):
+class KObservation(_HasMetadata):
     """a k-space observation: complex kimage + weight + optional psf"""
 
     def __init__(self, kimage, weight=None, psf=None, meta=None, scale=1.0):
@@ -96,7 +96,7 @@ class KObservation(MetadataMixin):
         )
 
 
-class KObsList(list, MetadataMixin):
+class KObsList(list, _HasMetadata):
     """list of KObservations"""
 
     def __init__(self, meta=None):
@@ -116,7 +116,7 @@ class KObsList(list, MetadataMixin):
         super().__setitem__(index, kobs)
 
 
-class KMultiBandObsList(list, MetadataMixin):
+class KMultiBandObsList(list, _HasMetadata):
     """list of KObsLists, one per band"""
 
     def __init__(self, meta=None):

@@ -193,18 +193,26 @@ def metacal_pipeline_ragged(catalog, conf: MetacalConfig,
     """batched metacal over a ragged catalog: one jit per size bucket,
     results reassembled in catalog order.
 
-    conf.dims / conf.psf_dims are overridden per bucket. Single-epoch
-    single-band buckets run the flat pipeline with the requested
-    ``measure``; multi-epoch (or multi-band) buckets run the joint
-    multi-epoch LM pipeline (measure is then the exp LM fit).
+    conf.dims / conf.psf_dims are overridden per bucket. ONE estimator
+    runs over the whole catalog (matching the reference's one-fitter-
+    per-run contract, ngmix/bootstrap.py:67-102): single-epoch
+    single-band buckets take the flat pipeline, multi-epoch (or
+    multi-band) buckets take the mb pipeline with the SAME ``measure``
+    - LM measures become joint multi-epoch fits, gaussmom/admom pool
+    the epochs' moment sums, and the pre-psf measures (pgauss/ksigma)
+    raise on multi-epoch buckets rather than silently switching
+    estimators.
 
     Returns {type: {key: [Ncat, ...] arrays}} in catalog order, plus
-    "psf_sigma" as a per-object list (epoch counts differ).
+    "psf_sigma" as a per-object list (epoch counts differ) and
+    "dropped_keys", the result columns that could not be merged across
+    buckets (each is also warned about once; see below).
     """
     buckets = pack_ragged(catalog, bucket_dims=bucket_dims)
     ncat = sum(len(b["indices"]) for b in buckets)
 
     merged = None
+    dropped = set()
     psf_sigma = [None] * ncat
     for b in buckets:
         conf_b = conf._replace(dims=b["dims"], psf_dims=b["psf_dims"])
@@ -226,7 +234,8 @@ def metacal_pipeline_ragged(catalog, conf: MetacalConfig,
                 jnp.asarray(b["psf_images"]),
                 jnp.asarray(b["psf_cens"]),
                 jnp.asarray(b["noises"]),
-                jnp.asarray(b["band"]), nband, conf_b, **measure_kw,
+                jnp.asarray(b["band"]), nband, conf_b,
+                measure=measure, **measure_kw,
             )
 
         sig = np.asarray(res.pop("psf_sigma"))
@@ -249,9 +258,11 @@ def metacal_pipeline_ragged(catalog, conf: MetacalConfig,
             }
         # merge the COMMON table keys: a catalog can mix flat
         # (1-epoch) and multi-epoch buckets whose pipelines report
-        # slightly different key sets; keys missing from (or
-        # shape-incompatible with) any bucket are dropped from the
-        # catalog table rather than raising
+        # slightly different key sets (e.g. flat [6] pars vs mb
+        # [5+nband]); keys missing from (or shape-incompatible with)
+        # any bucket are dropped from the catalog table - loudly, and
+        # recorded in the returned "dropped_keys" so callers can
+        # detect the reduced schema
         for t, tres in res.items():
             for k in list(merged[t]):
                 v = tres.get(k)
@@ -261,15 +272,21 @@ def metacal_pipeline_ragged(catalog, conf: MetacalConfig,
                     or not hasattr(v, "shape")
                     or v.shape[1:] != dst.shape[1:]
                 ):
-                    logger.debug(
-                        "dropping result key %s/%s: not reported by "
-                        "every bucket", t, k,
-                    )
+                    if k not in dropped:
+                        dropped.add(k)
+                        logger.warning(
+                            "metacal_pipeline_ragged: dropping result "
+                            "column %r from the merged catalog: the "
+                            "size buckets report it with inconsistent "
+                            "shapes (or not at all); returned under "
+                            "'dropped_keys'", k,
+                        )
                     del merged[t][k]
                     continue
                 dst[b["indices"]] = np.asarray(v)
 
     merged["psf_sigma"] = psf_sigma
+    merged["dropped_keys"] = sorted(dropped)
     return merged
 
 

@@ -1,7 +1,11 @@
 """Simulate observations from gaussian mixtures + weight-map noise.
 
-Behavior parity: ngmix/simobs.py:12-301. Used directly by users and by
-the metacal fixnoise machinery (pure-noise observations).
+Behavior parity: ngmix/simobs.py:12-301 (same sampling semantics:
+weight-map gaussian noise, median fill of zero-weight pixels, optional
+noise_factor rescale). Used directly by users and by the metacal
+fixnoise machinery (pure-noise observations). The container recursion
+runs band-by-band so a MultiBandObsList can pair with a per-band list
+of mixtures.
 """
 import logging
 from copy import deepcopy
@@ -20,145 +24,130 @@ def simulate_obs(
     gmix, obs, add_noise=True, rng=None, add_all=True, noise_factor=None,
     use_raw_weight=True, convolve_psf=True,
 ):
-    """simulate observation(s) from the input mixture (None -> noise
-    only)"""
+    """simulate observation(s) matching ``obs``'s geometry and noise.
+
+    gmix renders the object (convolved with each epoch's psf mixture
+    unless convolve_psf=False); gmix=None simulates pure noise. For a
+    MultiBandObsList pass a list of mixtures, one per band.
+    """
+    kw = dict(
+        add_noise=add_noise, rng=rng, add_all=add_all,
+        noise_factor=noise_factor, use_raw_weight=use_raw_weight,
+        convolve_psf=convolve_psf,
+    )
     if isinstance(obs, MultiBandObsList):
-        if gmix is not None:
-            if not isinstance(gmix, list):
-                raise ValueError(
-                    "for simulating MultiBandObsLists, the input must be a "
-                    "list of gaussian mixtures"
-                )
-            if not isinstance(gmix[0], GMix):
-                raise ValueError("input must be gaussian mixtures")
-            if len(gmix) != len(obs):
-                raise ValueError(
-                    "len(mbobs)==%d but len(gmix_list)==%d"
-                    % (len(obs), len(gmix))
-                )
-        new_mbobs = MultiBandObsList()
-        for i, ol in enumerate(obs):
-            g = None if gmix is None else gmix[i]
-            new_mbobs.append(
-                _simulate_obslist(
-                    g, ol, add_noise=add_noise, rng=rng, add_all=add_all,
-                    noise_factor=noise_factor, use_raw_weight=use_raw_weight,
-                    convolve_psf=convolve_psf,
-                )
-            )
-        return new_mbobs
+        per_band = _band_mixtures(gmix, obs)
+        out = MultiBandObsList()
+        for g, obslist in zip(per_band, obs):
+            out.append(simulate_obs(g, obslist, **kw))
+        return out
 
     if gmix is not None and not isinstance(gmix, GMix):
-        raise ValueError("input gmix must be a gaussian mixture")
-
-    if isinstance(obs, ObsList):
-        return _simulate_obslist(
-            gmix, obs, add_noise=add_noise, rng=rng, add_all=add_all,
-            noise_factor=noise_factor, use_raw_weight=use_raw_weight,
-            convolve_psf=convolve_psf,
-        )
-    elif isinstance(obs, Observation):
-        return _simulate_obs(
-            gmix, obs, add_noise=add_noise, rng=rng, add_all=add_all,
-            noise_factor=noise_factor, use_raw_weight=use_raw_weight,
-            convolve_psf=convolve_psf,
-        )
-    else:
         raise ValueError(
-            "obs should be an Observation, ObsList, or MultiBandObsList"
+            "simulate_obs needs a GMix (or None for pure noise) here; "
+            "got a %s" % type(gmix).__name__
         )
+    if isinstance(obs, ObsList):
+        out = ObsList()
+        for epoch in obs:
+            out.append(simulate_obs(gmix, epoch, **kw))
+        return out
+    if isinstance(obs, Observation):
+        return _simulate_one(gmix, obs, **kw)
+    raise ValueError(
+        "simulate_obs takes an Observation, ObsList or "
+        "MultiBandObsList; got a %s" % type(obs).__name__
+    )
 
 
-def _simulate_obslist(gmix, obslist, **kw):
-    new_obslist = ObsList()
-    for o in obslist:
-        new_obslist.append(simulate_obs(gmix=gmix, obs=o, **kw))
-    return new_obslist
+def _band_mixtures(gmix, mbobs):
+    """pair a per-band mixture list with a MultiBandObsList"""
+    if gmix is None:
+        return [None] * len(mbobs)
+    if not isinstance(gmix, list) or not all(
+        isinstance(g, GMix) for g in gmix
+    ):
+        raise ValueError(
+            "a MultiBandObsList pairs with a list of GMix, one per band"
+        )
+    if len(gmix) != len(mbobs):
+        raise ValueError(
+            "got %d mixtures for %d bands" % (len(gmix), len(mbobs))
+        )
+    return gmix
 
 
-def _simulate_obs(gmix, obs, add_noise=True, rng=None, add_all=True,
+def _simulate_one(gmix, obs, add_noise=True, rng=None, add_all=True,
                   noise_factor=None, use_raw_weight=True, convolve_psf=True):
-    sim_image = _get_simulated_image(gmix, obs, convolve_psf=convolve_psf)
-
-    if add_noise:
-        sim_image, noise_image = _get_noisy_image(
-            obs, sim_image, rng=rng, add_all=add_all,
-            noise_factor=noise_factor, use_raw_weight=use_raw_weight,
-        )
+    """simulate a single Observation"""
+    if gmix is None:
+        image = np.zeros(obs.image.shape)
     else:
-        noise_image = None
+        gm = gmix.convolve(_psf_mixture(obs)) if convolve_psf else gmix
+        image = gm.make_image(obs.image.shape, jacobian=obs.jacobian)
 
-    psf = deepcopy(obs.psf) if obs.has_psf() else None
+    noise_image = None
+    if add_noise:
+        # the raw (pre-fixnoise) weight map drives the realization when
+        # available, so noise sims of halved-weight metacal obs match
+        # the original depth
+        wt_for_noise = (
+            obs.weight_raw
+            if use_raw_weight and hasattr(obs, "weight_raw")
+            else obs.weight
+        )
+        noise_image = get_noise_image(
+            weight=wt_for_noise, rng=rng, add_all=add_all,
+            noise_factor=noise_factor,
+        )
+        image = image + noise_image
+
     weight = obs.weight.copy()
     if noise_factor is not None:
-        LOGGER.debug("Modding weight with noise factor: %s" % noise_factor)
-        weight *= 1.0 / noise_factor**2
+        LOGGER.debug(
+            "scaling weight by 1/noise_factor^2 (%s)", noise_factor
+        )
+        weight /= noise_factor**2
 
-    new_obs = Observation(
-        sim_image, weight=weight, jacobian=obs.jacobian, psf=psf
+    out = Observation(
+        image, weight=weight, jacobian=obs.jacobian,
+        psf=deepcopy(obs.psf) if obs.has_psf() else None,
     )
-    new_obs.noise_image = noise_image
-    return new_obs
-
-
-def _get_simulated_image(gmix, obs, convolve_psf=True):
-    if gmix is None:
-        return np.zeros(obs.image.shape)
-    if convolve_psf:
-        psf_gmix = _get_psf_gmix(obs)
-        gm = gmix.convolve(psf_gmix)
-    else:
-        gm = gmix
-    return gm.make_image(obs.image.shape, jacobian=obs.jacobian)
-
-
-def _get_noisy_image(obs, sim_image, rng, add_all=True, noise_factor=None,
-                     use_raw_weight=True):
-    if hasattr(obs, "weight_raw") and use_raw_weight:
-        weight = obs.weight_raw
-    else:
-        weight = obs.weight
-    noise_image = get_noise_image(
-        weight=weight, rng=rng, add_all=add_all, noise_factor=noise_factor
-    )
-    return sim_image + noise_image, noise_image
+    out.noise_image = noise_image
+    return out
 
 
 def get_noise_image(weight, rng, add_all=True, noise_factor=None):
     """noise realization from a weight map; zero-weight pixels get the
     median noise if add_all (ref: simobs.py:249-287)"""
     if rng is None:
-        raise ValueError("you must send an rng to get_noise_image")
+        raise ValueError("get_noise_image needs an rng")
 
-    noise_image = rng.normal(loc=0.0, scale=1.0, size=weight.shape)
+    unit = rng.normal(loc=0.0, scale=1.0, size=weight.shape)
+    live = weight > 0
+    if not live.any():
+        LOGGER.debug("weight map is all zero; noise sigma = %s", BIGNOISE)
+        return unit * BIGNOISE
+
     err = np.zeros(weight.shape)
-    w = np.where(weight > 0)
-    if w[0].size > 0:
-        err[w] = np.sqrt(1.0 / weight[w])
-        if add_all and (w[0].size != weight.size):
-            median_err = np.median(err[w])
-            wzero = np.where(weight <= 0)
-            err[wzero] = median_err
-        if noise_factor is not None:
-            LOGGER.debug("Adding noise factor: %s" % noise_factor)
-            err *= noise_factor
-    else:
-        LOGGER.debug("All weight is zero!  Setting noise to %s" % BIGNOISE)
-        err[:, :] = BIGNOISE
-
-    return noise_image * err
+    err[live] = np.sqrt(1.0 / weight[live])
+    if add_all and not live.all():
+        err[~live] = np.median(err[live])
+    if noise_factor is not None:
+        LOGGER.debug("scaling noise by factor %s", noise_factor)
+        err *= noise_factor
+    return unit * err
 
 
-def _get_psf_gmix(obs):
+def _psf_mixture(obs):
+    """the fitted psf mixture needed for convolve_psf"""
     if not obs.has_psf():
         raise RuntimeError(
-            "You requested to convolve by the psf, but the observation has "
-            "no psf observation set"
+            "convolve_psf=True but this observation carries no psf"
         )
     psf = obs.get_psf()
     if not psf.has_gmix():
         raise RuntimeError(
-            "You requested to convolve by the psf, but the observation has "
-            "no psf gmix set"
+            "convolve_psf=True but the psf has no fitted mixture"
         )
     return psf.gmix

@@ -178,7 +178,7 @@ def test_ragged_multiband():
         dims=(33, 33), psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
         fixnoise=True, pad_factor=2,
     )
-    res = metacal_pipeline_ragged(catalog, conf, nband=2)
+    res = metacal_pipeline_ragged(catalog, conf, measure="exp-lm", nband=2)
     flags = np.asarray(res["noshear"]["flags"])
     pars = np.asarray(res["noshear"]["pars"])
     assert pars.shape == (3, 7)  # 5 + nband
@@ -191,6 +191,36 @@ def test_ragged_multiband():
     # the band-1-only object has an unconstrained band-0 flux: the
     # singular normal matrix must FLAG, not silently pass
     assert flags[2] != 0
+
+
+def test_ragged_estimator_consistency():
+    """ONE estimator runs over a catalog mixing epoch counts: admom
+    everywhere (the multi-epoch bucket pools moment sums), never a
+    silent switch to an LM fit (round-2 VERDICT item 3)"""
+    rng = np.random.RandomState(18)
+    cat = [
+        _one_object(rng, (33, 33), nepoch=1),
+        _one_object(rng, (33, 33), nepoch=2),
+        _one_object(rng, (33, 33), nepoch=1),
+    ]
+    conf = MetacalConfig(
+        dims=(33, 33), psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2,
+    )
+    res = metacal_pipeline_ragged(cat, conf, measure="admom")
+    # admom-specific columns present for EVERY object, including the
+    # multi-epoch one
+    assert np.all(np.asarray(res["noshear"]["flags"]) == 0)
+    assert res["noshear"]["rho4"].shape == (3,)
+    assert np.allclose(res["noshear"]["rho4"], 2.0, rtol=0.3)
+    assert res["dropped_keys"] == []
+
+    # pre-psf measures refuse multi-epoch buckets rather than
+    # switching estimators
+    import pytest
+
+    with pytest.raises(ValueError, match="per-epoch psf"):
+        metacal_pipeline_ragged(cat, conf, measure="pgauss")
 
 
 def test_ragged_mixed_flat_and_multiepoch_buckets():
