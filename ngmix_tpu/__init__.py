@@ -76,6 +76,7 @@ from .kobs import (  # noqa: F401
     KObservation,
     KObsList,
     get_kmb_obs,
+    make_iilist,
     make_kobs,
 )
 from . import ops  # noqa: F401

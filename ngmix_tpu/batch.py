@@ -762,12 +762,25 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
 
 def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
                              measure_fwhm=1.2, lm_conf=None,
-                             lm_prior=None, lm_bounds=None):
+                             lm_prior=None, lm_bounds=None,
+                             max_chunk=6144):
     """jitted batched pipeline closure.
 
     lm_conf / lm_prior / lm_bounds pass through to the LM measures
     (see metacal_pipeline): production fits are typically
     prior-regularized and bounded.
+
+    max_chunk: batches larger than this are processed as successive
+    sub-batches of (at most) this size inside one host call, dispatched
+    asynchronously so the fixed per-dispatch latency and the compile
+    cache amortize while the working set stays below the HBM knee
+    (measured on v5e/16G at the headline 49px config: throughput
+    collapses 23.7k -> 12.3k stamps/s between B=6144 and B=8192).
+    Chunks are dispatched before any result is fetched, so the device
+    queue stays full. None disables chunking. Results are
+    concatenated; per-lane outputs are identical to a single-batch run
+    except for LM straggler-compaction capacities, which scale with
+    the chunk size (compaction never changes per-lane results).
     """
 
     @jax.jit
@@ -778,7 +791,23 @@ def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
             lm_prior=lm_prior, lm_bounds=lm_bounds,
         )
 
-    return fn
+    if max_chunk is None:
+        return fn
+
+    def chunked(images, weights, cens, psf_images, psf_cens, noise):
+        B = images.shape[0]
+        if B <= max_chunk:
+            return fn(images, weights, cens, psf_images, psf_cens, noise)
+        args = (images, weights, cens, psf_images, psf_cens, noise)
+        parts = [
+            fn(*[a[i:i + max_chunk] for a in args])
+            for i in range(0, B, max_chunk)
+        ]
+        return jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts
+        )
+
+    return chunked
 
 
 def shear_response_sums(results):

@@ -29,6 +29,7 @@ __all__ = [
     "KObsList",
     "KMultiBandObsList",
     "make_kobs",
+    "make_iilist",
     "get_kmb_obs",
 ]
 
@@ -146,6 +147,83 @@ def _kimage_of_obs(image, cen, dim, scale):
         jnp.asarray(image, dtype=jnp.float64) + 0j, jnp.asarray(cen), dim
     )
     return np.fft.fftshift(np.asarray(khat))
+
+
+class ExactImageTransform:
+    """galsim.InterpolatedImage stand-in for the 'ii' slots of
+    make_iilist: holds the stamp and its center and evaluates the
+    EXACT continuous transform on any k grid via the centered FFT
+    (trig-poly identity; no interpolant enters, so there is no
+    interpolant response to correct)."""
+
+    def __init__(self, image, cen, scale):
+        self.image = np.asarray(image)
+        self.cen = np.asarray(cen, dtype=float)
+        self.scale = float(scale)
+
+    def kimage(self, dim):
+        """[dim, dim] fftshifted k image; dk = 2 pi / (dim * scale)"""
+        return _kimage_of_obs(self.image, self.cen, dim, self.scale)
+
+    @property
+    def nyquist_scale(self):
+        return np.pi / self.scale
+
+
+def make_iilist(obs, interp=DEFAULT_XINTERP, pad_factor=4):
+    """compat shim for ngmix.observation.make_iilist
+    (ref: observation.py:1363-1493): per-band-epoch dicts of
+    "interpolated image" data plus the common (odd) dim and dk.
+
+    The reference wraps each stamp in a galsim InterpolatedImage;
+    here the 'ii'/'psf_ii' slots hold ExactImageTransform objects
+    (exact DFT evaluation, no interpolant) and 'realspace_gsimage' is
+    the plain numpy stamp. 'wcs' carries the Jacobian (galsim WCS
+    objects don't exist in this build). dim follows the same
+    odd-dimension rule as make_kobs.
+    """
+    del interp
+    mb_obs = get_mb_obs(obs)
+
+    maxdim = 0
+    scale_at_max = None
+    mb_iilist = []
+    for obslist in mb_obs:
+        iilist = []
+        for o in obslist:
+            scale = o.jacobian.scale
+            entry = {
+                "wcs": o.jacobian,
+                "scale": scale,
+                "ii": ExactImageTransform(
+                    o.image, o.jacobian.get_cen(), scale
+                ),
+                "weight": o.weight,
+                "meta": o.meta,
+                "psf_ii": None,
+                "psf_weight": None,
+                "psf_meta": None,
+                "realspace_gsimage": np.asarray(o.image),
+            }
+            this_dim = max(o.image.shape)
+            if o.has_psf():
+                psf = o.psf
+                entry["psf_ii"] = ExactImageTransform(
+                    psf.image / psf.image.sum(),
+                    psf.jacobian.get_cen(), psf.jacobian.scale,
+                )
+                entry["psf_weight"] = psf.weight
+                entry["psf_meta"] = psf.meta
+                this_dim = max(this_dim, max(psf.image.shape))
+            if this_dim > maxdim:
+                maxdim = this_dim
+                scale_at_max = scale
+            iilist.append(entry)
+        mb_iilist.append(iilist)
+
+    dim = kops.good_fft_size(pad_factor * maxdim) + 1  # odd, like galsim
+    dk = 2 * np.pi / (dim * scale_at_max)
+    return mb_iilist, dim, dk
 
 
 def make_kobs(mb_obs, interp=DEFAULT_XINTERP, pad_factor=4):

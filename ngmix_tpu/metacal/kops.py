@@ -54,12 +54,19 @@ def kgrids(N, dtype=None):
 # Below this size, 1-D FFT passes are dispatched to a compile-time
 # constant DFT matmul on the MXU instead of XLA's fft HLO. Whether this
 # wins is workload-dependent (measure whole pipelines, not ops);
-# toggled by set_fft_matmul / the NGMIX_FFT_MATMUL env default.
+# toggled by set_fft_matmul.
 _FFT_MATMUL_MAX_N = 0
 
 
 def set_fft_matmul(max_n):
-    """use DFT matmuls for 1-D FFT passes with N <= max_n (0 = off)"""
+    """use DFT matmuls for 1-D FFT passes with N <= max_n (0 = off).
+
+    The threshold is read at TRACE time: call this before the first
+    invocation of any jitted pipeline. Programs already compiled keep
+    the dispatch they were traced with (the flag is not part of the
+    jit cache key), so flipping it later silently has no effect on
+    them - re-build the pipeline fns to retrace.
+    """
     global _FFT_MATMUL_MAX_N
     _FFT_MATMUL_MAX_N = int(max_n)
 

@@ -579,6 +579,7 @@ from .kobs import (  # noqa: E402,F401
     KObservation,
     KObsList,
     get_kmb_obs,
+    make_iilist,
     make_kobs,
 )
 
@@ -587,5 +588,6 @@ __all__ += [
     "KObsList",
     "KMultiBandObsList",
     "make_kobs",
+    "make_iilist",
     "get_kmb_obs",
 ]

@@ -128,6 +128,28 @@ def test_make_kobs_structure():
     assert np.allclose(kobs.psf.kimage[cen, cen].real, 1.0, rtol=1e-6)
 
 
+def test_make_iilist_matches_make_kobs():
+    """the make_iilist shim reports the same dim/dk as make_kobs and
+    its ExactImageTransform entries reproduce the kobs kimages"""
+    from ngmix_tpu import make_iilist
+
+    rng = np.random.RandomState(8)
+    data = get_model_obs(rng=rng, model="gauss", noise=0.01)
+    obs = data["obs"]
+    mb_iilist, dim, dk = make_iilist(obs, pad_factor=2)
+    mb_kobs = make_kobs(obs, pad_factor=2)
+    kobs = mb_kobs[0][0]
+    assert dim == kobs.kimage.shape[0]
+    assert np.allclose(dk, kobs.scale)
+
+    entry = mb_iilist[0][0]
+    assert entry["scale"] == obs.jacobian.scale
+    assert np.array_equal(entry["realspace_gsimage"], np.asarray(obs.image))
+    assert np.allclose(entry["ii"].kimage(dim), kobs.kimage)
+    assert np.allclose(entry["psf_ii"].kimage(dim), kobs.psf.kimage)
+    assert entry["ii"].nyquist_scale == np.pi / obs.jacobian.scale
+
+
 def test_get_kmb_obs_promotion():
     kobs, _ = _kobs_pair()
     mb = get_kmb_obs(kobs)
