@@ -83,6 +83,113 @@ def make_sim_batch(key, B, dtype=jnp.float32):
     return imgs, weights, cens, pimgs, pcens, noise_field
 
 
+def make_sim_batch_hetero(key, B, dtype=jnp.float32,
+                          jac=(SCALE, 0.0, 0.0, SCALE),
+                          shear=(SHEAR_TRUE, 0.0), nepoch=None):
+    """heterogeneous sim batch: per-stamp size/flux/intrinsic shape and
+    per-stamp psf shape/size variation, rendered under an arbitrary
+    shared WCS (pass a non-diagonal ``jac`` for the sheared-WCS
+    configuration of the reference's accuracy oracle,
+    ngmix/tests/test_metacal_accuracy.py:95-117).
+
+    Stamps come in +-g_int pairs sharing T/flux/psf (ring
+    cancellation), so the linear shape-noise term drops out of the
+    mean-shear statistics and m resolves at measurement-noise
+    precision. One jitted program like make_sim_batch.
+    """
+    assert B % 2 == 0, "pairing needs an even batch"
+    H = B // 2
+    kT, kf, kg, kth, kp, kpt, ko, kn, knz = jax.random.split(key, 9)
+
+    def pair(x):
+        return jnp.concatenate([x, x], axis=0)
+
+    T = jax.random.uniform(kT, (H,), dtype, 0.3, 1.1)
+    flux = jax.random.uniform(kf, (H,), dtype, 60.0, 140.0)
+    # intrinsic shapes uniform on a disc |g| < 0.3
+    r = jnp.sqrt(jax.random.uniform(kg, (H,), dtype)) * 0.3
+    th = jax.random.uniform(kth, (H,), dtype, 0.0, 2.0 * jnp.pi)
+    g1i = r * jnp.cos(th)
+    g2i = r * jnp.sin(th)
+    zeros = jnp.zeros((B,), dtype)
+    gal_pars = jnp.stack(
+        [
+            zeros, zeros,
+            jnp.concatenate([g1i, -g1i]),
+            jnp.concatenate([g2i, -g2i]),
+            pair(T), pair(flux),
+        ],
+        axis=-1,
+    )
+    gal, _ = gcore.fill_exp(gal_pars)
+    gal = gcore.gmix_get_sheared(gal, shear[0], shear[1])
+
+    # per-stamp turb psf (paired): shape +-0.03, T in [0.24, 0.30]
+    pg = jax.random.uniform(kp, (H, 2), dtype, -0.03, 0.03)
+    pT = jax.random.uniform(kpt, (H,), dtype, 0.24, 0.30)
+    psf_pars = jnp.concatenate(
+        [
+            jnp.zeros((H, 2), dtype), pg, pT[:, None],
+            jnp.ones((H, 1), dtype),
+        ],
+        axis=-1,
+    )
+    psf, _ = gcore.fill_turb(pair(psf_pars))
+    conv = gcore.gmix_convolve(gal, psf)
+
+    offsets = jax.random.uniform(ko, (B, 2), dtype, -0.5, 0.5)
+    cens = jnp.asarray(
+        [(DIMS[0] - 1) / 2.0, (DIMS[1] - 1) / 2.0], dtype
+    ) + offsets
+
+    dvdrow, dvdcol, dudrow, dudcol = jac
+    area = abs(dvdrow * dudcol - dvdcol * dudrow)
+    rows = jnp.arange(DIMS[0], dtype=dtype)
+    cols = jnp.arange(DIMS[1], dtype=dtype)
+    rr, cc = jnp.meshgrid(rows, cols, indexing="ij")
+    dr = rr.reshape(-1)[None, :] - cens[:, 0:1]
+    dc = cc.reshape(-1)[None, :] - cens[:, 1:2]
+    v = dvdrow * dr + dvdcol * dc
+    u = dudrow * dr + dudcol * dc
+    clean = gcore.eval_gmix(conv, v, u, area, fast=False).reshape(B, *DIMS)
+
+    pcen = jnp.asarray(
+        [(PSF_DIMS[0] - 1) / 2.0, (PSF_DIMS[1] - 1) / 2.0], dtype
+    )
+    prows = jnp.arange(PSF_DIMS[0], dtype=dtype)
+    pcols = jnp.arange(PSF_DIMS[1], dtype=dtype)
+    prr, pcc = jnp.meshgrid(prows, pcols, indexing="ij")
+    pdr = (prr.reshape(-1) - pcen[0])[None, :]
+    pdc = (pcc.reshape(-1) - pcen[1])[None, :]
+    pv = dvdrow * pdr + dvdcol * pdc
+    pu = dudrow * pdr + dudcol * pdc
+    pimgs = gcore.eval_gmix(psf, pv, pu, area, fast=False)
+    pimgs = pimgs.reshape(B, *PSF_DIMS)
+    pcens = jnp.broadcast_to(pcen, (B, 2))
+
+    if nepoch is not None:
+        # [B, E, ...]: the same objects observed E times with
+        # independent noise (the multi-epoch validation shape)
+        E = nepoch
+        imgs = clean[:, None] + jax.random.normal(
+            kn, (B, E) + DIMS, dtype
+        ) * NOISE
+        weights = jnp.full((B, E) + DIMS, 1.0 / NOISE**2, dtype)
+        noise_field = jax.random.normal(knz, (B, E) + DIMS, dtype) * NOISE
+        return (
+            imgs, weights,
+            jnp.broadcast_to(cens[:, None], (B, E, 2)),
+            jnp.broadcast_to(pimgs[:, None], (B, E) + PSF_DIMS),
+            jnp.broadcast_to(pcens[:, None], (B, E, 2)),
+            noise_field,
+        )
+
+    imgs = clean + jax.random.normal(kn, clean.shape, dtype) * NOISE
+    weights = jnp.full((B,) + DIMS, 1.0 / NOISE**2, dtype)
+    noise_field = jax.random.normal(knz, (B,) + DIMS, dtype) * NOISE
+    return imgs, weights, cens, pimgs, pcens, noise_field
+
+
 def _fetch(res):
     """force execution: block_until_ready alone does not force remote
     tunnel backends"""

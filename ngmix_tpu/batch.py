@@ -757,6 +757,10 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
     out["e2"] = out["pars"][:, 3]
     out["T"] = out["pars"][:, 4]
     out["flux"] = out["pars"][:, 5]
+    ferr = out["pars_err"][:, 5]
+    out["s2n"] = jnp.where(
+        ferr > 0, jnp.abs(out["flux"]) / ferr, 0.0
+    )
     return out
 
 
@@ -1188,9 +1192,20 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
         # single-band fluxes match the flat pipeline's [B] key so mixed
         # 1-epoch/multi-epoch ragged buckets merge; multi-band keeps
         # [B, nband]
-        out["flux"] = (
-            out["pars"][:, 5] if nband == 1 else out["pars"][:, 5:]
-        )
+        if nband == 1:
+            out["flux"] = out["pars"][:, 5]
+            ferr = out["pars_err"][:, 5]
+            out["s2n"] = jnp.where(
+                ferr > 0, jnp.abs(out["flux"]) / ferr, 0.0
+            )
+        else:
+            out["flux"] = out["pars"][:, 5:]
+            ferr = out["pars_err"][:, 5:]
+            fsum = jnp.sum(out["flux"], axis=-1)
+            esum = jnp.sqrt(jnp.sum(ferr**2, axis=-1))
+            out["s2n"] = jnp.where(
+                esum > 0, jnp.abs(fsum) / esum, 0.0
+            )
 
     results = {}
     for i, t in enumerate(conf.types):

@@ -1,23 +1,27 @@
 """Survey-scale shear-recovery validation on the TPU.
 
-Runs the full batched metacal + exp-LM pipeline over many simulated
-batches and reports the recovered multiplicative bias m with its
-uncertainty. Calibration statistics (per-type e1 sums, counts, e1^2)
-accumulate ON DEVICE - only O(1) scalars cross the tunnel at the end,
-the same pattern the sharded pipeline psums across chips.
+Runs batched metacal + a chosen measure over many simulated batches
+and reports the recovered multiplicative bias m with its uncertainty.
+Calibration statistics (per-type e sums, counts, e^2) accumulate ON
+DEVICE - only O(1) scalars cross the tunnel at the end, the same
+pattern the sharded pipeline psums across chips.
 
-Run: python tools/validate_scale.py [batch] [nbatch] [measure]
+The default sim is HETEROGENEOUS (bench.make_sim_batch_hetero):
+per-stamp size/flux/intrinsic shape in cancelling +-g pairs and
+per-stamp psf variation; --homog reverts to the single-object bench
+sim. --wcs sheared renders and measures under a non-diagonal WCS.
+Gate: |m| < 1e-3 (the reference's method-intrinsic residual is
+~3.4e-4, ngmix/tests/test_metacal_accuracy.py:65-77).
 
-Measured on TPU v5e (2026-08, post small-linalg cholesky, pad 1.3),
-sustained rates INCLUDE the on-device simulation (overlapped through
-async dispatch). All estimators land at the reference's
-method-intrinsic residual (test_metacal_accuracy asserts
-m ~ 3.4e-4 +/- 1e-4), resolved 15-25x finer:
+Run one config:   python tools/validate_scale.py --measure exp-lm
+Full surface:     python tools/validate_scale.py --sweep
+                  (the round-3 estimator-surface table; ~20 min TPU)
 
-  exp-lm    1,044,480 stamps  28.8k/s  m = 3.95e-4 +/- 3.7e-6 (99.7%)
-  admom       522,240 stamps  63.6k/s  m = 4.48e-4 +/- 5.1e-6
-  gauss-lm    215,040 stamps  38.2k/s  m = 3.32e-4 +/- 6.8e-6
+Historical numbers (2026-08, homogeneous sim, 0.2-1M stamps):
+  exp-lm m = 3.95e-4 +/- 3.7e-6; admom 4.48e-4; gauss-lm 3.32e-4.
+See README.md for the round-3 heterogeneous-sim sweep table.
 """
+import argparse
 import sys
 import time
 
@@ -27,67 +31,231 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 import bench as B  # noqa: E402
 from ngmix_tpu.batch import (  # noqa: E402
+    GALSHEAR_TYPES,
+    PSFSHEAR_TYPES,
     MetacalConfig,
     metacal_pipeline,
+    metacal_pipeline_mb,
 )
 
-TYPES = ("noshear", "1p", "1m", "2p", "2m")
+SHEARED_JAC = (
+    B.SCALE * 1.02, B.SCALE * 0.01, B.SCALE * 0.015, B.SCALE * 0.98
+)
 
 
-def main(Bsz=2048, nbatch=50, measure="exp-lm"):
+def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
+               types=5, select=False, mb=False, Bsz=2048, nbatch=50,
+               seed=777, quiet=False):
+    """accumulate calibration sums over nbatch sim+measure steps and
+    return a result dict (m, se_m, R11, n, rate, extras)"""
+    jac = SHEARED_JAC if wcs == "sheared" else (B.SCALE, 0, 0, B.SCALE)
+    all_types = GALSHEAR_TYPES + (
+        PSFSHEAR_TYPES if types == 9 else ()
+    )
     conf = MetacalConfig(
-        dims=B.DIMS, psf_dims=B.PSF_DIMS, jac=(B.SCALE, 0.0, 0.0, B.SCALE),
+        dims=B.DIMS, psf_dims=B.PSF_DIMS, jac=jac,
         fixnoise=True, pad_factor=1.3, fit_dims=(19, 19),
-    )  # the bench headline config (pad 1.3 validated m-neutral)
+        psf_mode=psf_mode, types=all_types,
+    )
+
+    def sim(key):
+        if mb:
+            return B.make_sim_batch_hetero(key, Bsz, jac=jac, nepoch=2)
+        if het:
+            return B.make_sim_batch_hetero(key, Bsz, jac=jac)
+        return B.make_sim_batch(key, Bsz)
+
+    def measure_step(args):
+        if mb:
+            return metacal_pipeline_mb(
+                *args, jnp.zeros(2, jnp.int32), 1, conf, measure=measure
+            )
+        return metacal_pipeline(*args, conf, measure=measure)
+
+    def sel_fn(r):
+        # a cut that BINDS on the heterogeneous population (T is drawn
+        # from [0.3, 1.1]) and is shear-correlated, so R_sel != 0 and
+        # the correction is genuinely exercised
+        return r["T"] > 0.55
+
+    nacc = len(all_types)
 
     @jax.jit
-    def step(key, acc):
-        """simulate one batch, run the pipeline, fold the calibration
-        sums into the device accumulator"""
-        args = B.make_sim_batch(key, Bsz)
-        res = metacal_pipeline(*args, conf, measure=measure)
-        for i, t in enumerate(TYPES):
+    def step(key, acc, acc_sel, acc_psf):
+        res = measure_step(sim(key))
+        for i, t in enumerate(all_types):
             ok = res[t]["flags"] == 0
             e1 = jnp.where(ok, res[t]["e1"], 0.0)
-            acc = acc.at[i, 0].add(jnp.sum(e1))
-            acc = acc.at[i, 1].add(jnp.sum(ok))
-            acc = acc.at[i, 2].add(jnp.sum(e1 * e1))
-        return acc
+            e2 = jnp.where(ok, res[t]["e2"], 0.0)
+            if t in PSFSHEAR_TYPES:
+                j = PSFSHEAR_TYPES.index(t)
+                acc_psf = acc_psf.at[j, 0].add(jnp.sum(e1))
+                acc_psf = acc_psf.at[j, 1].add(jnp.sum(e2))
+                acc_psf = acc_psf.at[j, 2].add(jnp.sum(ok))
+            else:
+                acc = acc.at[i, 0].add(jnp.sum(e1))
+                acc = acc.at[i, 1].add(jnp.sum(ok))
+                acc = acc.at[i, 2].add(jnp.sum(e1 * e1))
+        if select:
+            # Sheldon & Huff selection response: values from val_t
+            # under the selection derived from sel_t
+            ns = "noshear"
+            combos = [(ns, ns)] + [(t, ns) for t in GALSHEAR_TYPES[1:]] \
+                + [(ns, t) for t in GALSHEAR_TYPES[1:]]
+            for j, (vt, st) in enumerate(combos):
+                ok = (
+                    (res[vt]["flags"] == 0)
+                    & (res[st]["flags"] == 0)
+                    & sel_fn(res[st])
+                )
+                e1 = jnp.where(ok, res[vt]["e1"], 0.0)
+                acc_sel = acc_sel.at[j, 0].add(jnp.sum(e1))
+                acc_sel = acc_sel.at[j, 1].add(jnp.sum(ok))
+                acc_sel = acc_sel.at[j, 2].add(jnp.sum(e1 * e1))
+        return acc, acc_sel, acc_psf
 
-    key = jax.random.PRNGKey(777)
-    # f32 on device (x64 is off in the pipeline); XLA's pairwise-tree
-    # reductions keep the accumulation error ~eps*log(n) - validated
-    # identical (to 1e-8 in m) against an f64 host-side accumulation
-    acc = jnp.zeros((len(TYPES), 3))
+    key = jax.random.PRNGKey(seed)
+    acc = jnp.zeros((nacc, 3))
+    acc_sel = jnp.zeros((9, 3))
+    acc_psf = jnp.zeros((4, 3))
 
-    # compile
     key, k = jax.random.split(key)
-    acc = step(k, acc)
+    acc, acc_sel, acc_psf = step(k, acc, acc_sel, acc_psf)  # compile
     float(acc[0, 0])
     t0 = time.time()
-    for i in range(nbatch - 1):
+    for _ in range(nbatch - 1):
         key, k = jax.random.split(key)
-        acc = step(k, acc)
-    a = jax.device_get(acc)  # the ONLY bulk fetch: [5, 3] scalars
+        acc, acc_sel, acc_psf = step(k, acc, acc_sel, acc_psf)
+    a = jax.device_get(acc)
+    asel = jax.device_get(acc_sel)
+    apsf = jax.device_get(acc_psf)
     t_total = time.time() - t0
+    rate = (nbatch - 1) * Bsz / t_total
 
-    mean = {t: a[i, 0] / a[i, 1] for i, t in enumerate(TYPES)}
-    N = a[0, 1]
-    R11 = (mean["1p"] - mean["1m"]) / 0.02
-    sh = mean["noshear"] / R11
-    var = a[0, 2] / N - mean["noshear"] ** 2
-    se = (var / N) ** 0.5 / R11
-    m = sh / 0.02 - 1
-    n_total = int(sum(a[i, 1] for i in range(len(TYPES))) / len(TYPES))
-    print(
-        "stamps: %d  steady-state: %.1fs for %d -> %.0f stamps/s sustained"
-        % (n_total, t_total, (nbatch - 1) * Bsz, (nbatch - 1) * Bsz / t_total)
+    out = {}
+    if select:
+        ns = "noshear"
+        combos = [(ns, ns)] + [(t, ns) for t in GALSHEAR_TYPES[1:]] \
+            + [(ns, t) for t in GALSHEAR_TYPES[1:]]
+        mean = {c: asel[j, 0] / max(asel[j, 1], 1)
+                for j, c in enumerate(combos)}
+        N = asel[0, 1]
+        R11 = (mean[("1p", ns)] - mean[("1m", ns)]) / 0.02
+        Rsel = (mean[(ns, "1p")] - mean[(ns, "1m")]) / 0.02
+        e_ns = mean[(ns, ns)]
+        sh = e_ns / (R11 + Rsel)
+        var = asel[0, 2] / N - e_ns**2
+        se = (var / N) ** 0.5 / abs(R11 + Rsel)
+        out["R_sel11"] = float(Rsel)
+    else:
+        idx = {t: i for i, t in enumerate(all_types)}
+        mean = {t: a[idx[t], 0] / max(a[idx[t], 1], 1)
+                for t in GALSHEAR_TYPES}
+        N = a[idx["noshear"], 1]
+        R11 = (mean["1p"] - mean["1m"]) / 0.02
+        sh = mean["noshear"] / R11
+        var = a[idx["noshear"], 2] / N - mean["noshear"] ** 2
+        se = (var / N) ** 0.5 / abs(R11)
+    if types == 9:
+        pmean = {
+            t: (apsf[j, 0] / max(apsf[j, 2], 1),
+                apsf[j, 1] / max(apsf[j, 2], 1))
+            for j, t in enumerate(PSFSHEAR_TYPES)
+        }
+        out["R_psf11"] = float(
+            (pmean["1p_psf"][0] - pmean["1m_psf"][0]) / 0.02
+        )
+        out["R_psf22"] = float(
+            (pmean["2p_psf"][1] - pmean["2m_psf"][1]) / 0.02
+        )
+
+    out.update({
+        "m": float(sh / 0.02 - 1), "se_m": float(3 * se / 0.02),
+        "R11": float(R11), "n": int(N), "rate": rate,
+        "n_stamps": (nbatch) * Bsz,
+    })
+    if not quiet:
+        print(
+            "n=%d (%.0f/s sustained)  R11=%.4f  m = %.2e +/- %.2e (99.7%%)"
+            % (out["n"], rate, out["R11"], out["m"], out["se_m"])
+        )
+        for k2 in ("R_sel11", "R_psf11", "R_psf22"):
+            if k2 in out:
+                print("  %s = %.4f" % (k2, out[k2]))
+    return out
+
+
+SWEEP = [
+    # label, kwargs — the round-3 estimator-surface table
+    ("exp-lm het", dict(measure="exp-lm")),
+    ("gauss-lm het", dict(measure="gauss-lm")),
+    ("dev-lm het", dict(measure="dev-lm")),
+    ("admom het", dict(measure="admom")),
+    ("gaussmom het", dict(measure="gaussmom")),
+    ("pgauss het", dict(measure="pgauss")),
+    ("ksigma het", dict(measure="ksigma")),
+    ("exp-lm sheared-WCS", dict(measure="exp-lm", wcs="sheared")),
+    ("gaussmom sheared-WCS", dict(measure="gaussmom", wcs="sheared")),
+    ("exp-lm azgauss", dict(measure="exp-lm", psf_mode="azgauss")),
+    ("exp-lm fitgauss", dict(measure="exp-lm", psf_mode="fitgauss")),
+    ("exp-lm dilate 9-type", dict(measure="exp-lm", psf_mode="dilate",
+                                  types=9)),
+    ("exp-lm select(s2n>10)", dict(measure="exp-lm", select=True)),
+    ("exp-lm mb E=2", dict(measure="exp-lm", mb=True)),
+]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--measure", default="exp-lm")
+    p.add_argument("--psf-mode", default="gauss")
+    p.add_argument("--homog", action="store_true")
+    p.add_argument("--wcs", default="diag", choices=["diag", "sheared"])
+    p.add_argument("--types", type=int, default=5, choices=[5, 9])
+    p.add_argument("--select", action="store_true")
+    p.add_argument("--mb", action="store_true")
+    p.add_argument("--batch", type=int, default=2048)
+    p.add_argument("--nbatch", type=int, default=50)
+    p.add_argument("--sweep", action="store_true")
+    a = p.parse_args()
+
+    if a.sweep:
+        rows = []
+        for label, kw in SWEEP:
+            kw = dict(kw)
+            kw.setdefault("Bsz", a.batch)
+            kw.setdefault("nbatch", a.nbatch)
+            if kw.get("mb"):
+                kw["Bsz"] = min(kw["Bsz"], 1024)  # E=2 doubles stamps
+            print("== %s" % label, flush=True)
+            t0 = time.time()
+            try:
+                r = run_config(**kw)
+            except Exception as e:  # keep sweeping
+                print("  FAILED: %r" % e)
+                rows.append((label, None))
+                continue
+            r["wall"] = time.time() - t0
+            rows.append((label, r))
+        print("\n| config | n | m | 3 sigma | R11 | gate |")
+        print("|---|---|---|---|---|---|")
+        for label, r in rows:
+            if r is None:
+                print("| %s | - | FAILED | - | - | NO |" % label)
+                continue
+            gate = "ok" if abs(r["m"]) < 1e-3 else "**FAIL**"
+            print(
+                "| %s | %d | %.2e | %.1e | %.3f | %s |"
+                % (label, r["n"], r["m"], r["se_m"], r["R11"], gate)
+            )
+        return
+
+    run_config(
+        measure=a.measure, psf_mode=a.psf_mode, het=not a.homog,
+        wcs=a.wcs, types=a.types, select=a.select, mb=a.mb,
+        Bsz=a.batch, nbatch=a.nbatch,
     )
-    print("R11=%.4f  m = %.2e +/- %.2e (99.7%%)" % (R11, m, 3 * se / 0.02))
 
 
 if __name__ == "__main__":
-    Bsz = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    nbatch = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    measure = sys.argv[3] if len(sys.argv) > 3 else "exp-lm"
-    main(Bsz, nbatch, measure)
+    main()
