@@ -85,7 +85,8 @@ def make_sim_batch(key, B, dtype=jnp.float32):
 
 def make_sim_batch_hetero(key, B, dtype=jnp.float32,
                           jac=(SCALE, 0.0, 0.0, SCALE),
-                          shear=(SHEAR_TRUE, 0.0), nepoch=None):
+                          shear=(SHEAR_TRUE, 0.0), nepoch=None,
+                          gint_max=0.3):
     """heterogeneous sim batch: per-stamp size/flux/intrinsic shape and
     per-stamp psf shape/size variation, rendered under an arbitrary
     shared WCS (pass a non-diagonal ``jac`` for the sheared-WCS
@@ -106,8 +107,8 @@ def make_sim_batch_hetero(key, B, dtype=jnp.float32,
 
     T = jax.random.uniform(kT, (H,), dtype, 0.3, 1.1)
     flux = jax.random.uniform(kf, (H,), dtype, 60.0, 140.0)
-    # intrinsic shapes uniform on a disc |g| < 0.3
-    r = jnp.sqrt(jax.random.uniform(kg, (H,), dtype)) * 0.3
+    # intrinsic shapes uniform on a disc |g| < gint_max
+    r = jnp.sqrt(jax.random.uniform(kg, (H,), dtype)) * gint_max
     th = jax.random.uniform(kth, (H,), dtype, 0.0, 2.0 * jnp.pi)
     g1i = r * jnp.cos(th)
     g2i = r * jnp.sin(th)
@@ -377,6 +378,18 @@ def main():
 
     if os.environ.get("NGMIX_BENCH_SECONDARY", "1") != "0":
         secondary = secondary_rates(args, B)
+        # heterogeneous m-gate: the same pipeline program over varied
+        # morphology (per-stamp T/flux/shape pairs, varied anisotropic
+        # psfs) - the homogeneous headline sim can't catch biases that
+        # only appear off the single-object operating point
+        het_args = jax.block_until_ready(
+            make_sim_batch_hetero(jax.random.PRNGKey(271), B)
+        )
+        het_res = fn(*het_args)
+        het_sr = shear_response(het_res)
+        secondary["hetero_shear_bias_m"] = float(
+            "%.3e" % (float(het_sr["shear"][0]) / SHEAR_TRUE - 1.0)
+        )
     else:
         secondary = {}
 

