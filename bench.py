@@ -337,9 +337,10 @@ def secondary_rates(args, B):
 
 
 def main():
-    # B=6144 is the post-cholesky throughput knee (20.8k @2048,
-    # 22.6k @4096, 23.7k @6144; 8192 collapses on HBM pressure)
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 6144
+    # post crop-iDFT + unrolled normal equations the rate plateaus at
+    # ~33k stamps/s for B in [8192, 16384] (30.6k @6144); 10240 is the
+    # plateau's start with the shortest wall clock
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
     nrep = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
     key = jax.random.PRNGKey(314)

@@ -208,7 +208,7 @@ def _fitgauss_target_sigma_batch(psf_images, psf_cens, conf):
 
 def metacal_image_set(images, cens, psf_images, psf_cens,
                       conf: MetacalConfig, psfdata=None,
-                      with_psf_images=False):
+                      with_psf_images=False, crop=None):
     """produce the metacal image set for a batch.
 
     images [B, H, W]; cens [B, 2]; psf_images [B, Hp, Wp];
@@ -227,6 +227,12 @@ def metacal_image_set(images, cens, psf_images, psf_cens,
     with_psf_images: also return {type: [B, Hp, Wp]} rendered target
     psf stamps (centered at the stamp center), for measures that need
     the psf model when the target is not an analytic gaussian.
+
+    crop: optional (r0, c0, fh, fw). Output images are only the crop
+    window [B, fh, fw], evaluated by partial-iDFT matmuls instead of
+    full inverse FFTs (kops.idft2_crop) - exact, and the skinny MXU
+    matmuls do crop/N of the transform work. Callers that fit on a
+    central fit_dims window never materialize the full stamps.
     """
     _check_types(conf)
     if psfdata is None:
@@ -278,9 +284,14 @@ def metacal_image_set(images, cens, psf_images, psf_cens,
             S = kops.shear_matrix(g1, g2)
             M = kops.kmap_matrix(jac, S)
             sheared = kops.remap_k(objhat, M)
-        out[type_] = _batched_centered_ifft(
-            sheared * ghat_t, cens, conf.dims
-        )
+        if crop is not None:
+            out[type_] = _batched_centered_ifft_crop(
+                sheared * ghat_t, cens, *crop
+            )
+        else:
+            out[type_] = _batched_centered_ifft(
+                sheared * ghat_t, cens, conf.dims
+            )
         if with_psf_images:
             Hp, Wp = conf.psf_dims
             pcen = jnp.broadcast_to(
@@ -317,6 +328,17 @@ def _batched_centered_ifft(khat, cens, dims):
     )
     full = kops.fft2_auto(khat * phase, inverse=True).real
     return full[..., : dims[0], : dims[1]]
+
+
+def _batched_centered_ifft_crop(khat, cens, r0, c0, fh, fw):
+    """only rows r0..r0+fh-1, cols c0..c0+fw-1 of the centered inverse
+    transform, via partial-iDFT matmuls (kops.idft2_crop)"""
+    N = khat.shape[-1]
+    kr, kc = kops.kgrids(N)
+    phase = jnp.exp(
+        -1j * (kr * cens[:, 0, None, None] + kc * cens[:, 1, None, None])
+    )
+    return kops.idft2_crop(khat * phase, r0, c0, fh, fw).real
 
 
 def make_pixels_batch(images, weights, cens, conf: MetacalConfig):
@@ -359,14 +381,32 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
     need_psf_stamps = conf.psf_mode == "dilate" and (
         measure.endswith("-lm") or measure in ("pgauss", "ksigma")
     )
+    # pixel-space measures over a central fit_dims window never need
+    # the full stamps: evaluate only the window via partial-iDFT
+    # matmuls (crop/N of the inverse-transform work). The window must
+    # be square and centered so the fixnoise rot90 commutes with it;
+    # the pre-psf k-space measures always take full stamps.
+    crop = None
+    if (
+        conf.fit_dims is not None
+        and measure not in ("pgauss", "ksigma")
+        and conf.dims[0] == conf.dims[1]
+        and conf.fit_dims[0] == conf.fit_dims[1]
+        and (conf.dims[0] - conf.fit_dims[0]) % 2 == 0
+    ):
+        fh, fw = conf.fit_dims
+        crop = (
+            (conf.dims[0] - fh) // 2, (conf.dims[1] - fw) // 2, fh, fw
+        )
     if need_psf_stamps:
         odict, sigma, psfdict = metacal_image_set(
             images, cens, psf_images, psf_cens, conf, psfdata=psfdata,
-            with_psf_images=True,
+            with_psf_images=True, crop=crop,
         )
     else:
         odict, sigma = metacal_image_set(
-            images, cens, psf_images, psf_cens, conf, psfdata=psfdata
+            images, cens, psf_images, psf_cens, conf, psfdata=psfdata,
+            crop=crop,
         )
         psfdict = None
 
@@ -376,7 +416,8 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
         cen_c = jnp.full_like(cens, (conf.dims[0] - 1) / 2.0)
         noise_rot = jnp.rot90(noise, k=1, axes=(-2, -1))
         ndict, _ = metacal_image_set(
-            noise_rot, cen_c, psf_images, psf_cens, conf, psfdata=psfdata
+            noise_rot, cen_c, psf_images, psf_cens, conf, psfdata=psfdata,
+            crop=crop,
         )
         for t in odict:
             odict[t] = odict[t] + jnp.rot90(ndict[t], k=3, axes=(-2, -1))
@@ -398,7 +439,14 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
     # the pre-psf k-space measures need the full (uncropped) stamps
     ims_full, wt_full, cens_full = ims_all, wt_all, cens_all
 
-    if conf.fit_dims is not None:
+    if crop is not None:
+        # images came out of the k engine already cropped; crop the
+        # weights and shift the centers to match
+        r0, c0, fh, fw = crop
+        wt_all = wt_all[:, r0:r0 + fh, c0:c0 + fw]
+        cens_all = cens_all - jnp.asarray([r0, c0], cens_all.dtype)
+        conf_fit = conf._replace(dims=(fh, fw))
+    elif conf.fit_dims is not None:
         fh, fw = conf.fit_dims
         r0 = (conf.dims[0] - fh) // 2
         c0 = (conf.dims[1] - fw) // 2
@@ -543,6 +591,38 @@ def _lm_planes(pixels):
     )
 
 
+def _normal_reductions(r, J):
+    """(cost, Jtr, JtJ) from batched residuals r [B, R] and jacobians
+    J [B, R, n], with the tiny-output contractions UNROLLED over the
+    parameter indices instead of batched GEMMs: XLA lowers
+    einsum('bri,brj->bij') to a batched matmul with M=N=n(=6), K=R,
+    which strands the MXU at a few-percent tile occupancy (the same
+    pathology ops/small_linalg.py removes from the solve/epilogue).
+    n(n+3)/2 fused multiply-reduces over [B, R] vectorize the batch
+    dim on the VPU instead."""
+    n = J.shape[-1]
+    cost = jnp.sum(r * r, axis=-1)
+    cols = [J[..., i] for i in range(n)]
+    Jtr = jnp.stack(
+        [jnp.sum(cols[i] * r, axis=-1) for i in range(n)], axis=-1
+    )
+    rows = []
+    for i in range(n):
+        row = [None] * n
+        for j in range(n):
+            if j < i:
+                continue
+            row[j] = jnp.sum(cols[i] * cols[j], axis=-1)
+        rows.append(row)
+    for i in range(n):
+        for j in range(i):
+            rows[i][j] = rows[j][i]
+    JtJ = jnp.stack(
+        [jnp.stack(row, axis=-1) for row in rows], axis=-2
+    )
+    return cost, Jtr, JtJ
+
+
 def _make_ad_normal_fn(fill_fn):
     """normal-equation reductions (cost, Jtr, JtJ) of a simple-model
     fit via vmapped AD (eval + jacfwd): the XLA-fused default. Same
@@ -561,11 +641,10 @@ def _make_ad_normal_fn(fill_fn):
             def f(q):
                 return _model_lm_fdiff(q, (px, pg), fill_fn)
 
-            r = f(p)
-            J = jax.jacfwd(f)(p)
-            return jnp.sum(r * r), J.T @ r, J.T @ J
+            return f(p), jax.jacfwd(f)(p)
 
-        return jax.vmap(one)(pars, pixels, psf_gmix)
+        r, J = jax.vmap(one)(pars, pixels, psf_gmix)
+        return _normal_reductions(r, J)
 
     return normal_fn
 
@@ -767,7 +846,7 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
 def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
                              measure_fwhm=1.2, lm_conf=None,
                              lm_prior=None, lm_bounds=None,
-                             max_chunk=6144):
+                             max_chunk=10240):
     """jitted batched pipeline closure.
 
     lm_conf / lm_prior / lm_bounds pass through to the LM measures
@@ -778,8 +857,9 @@ def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
     sub-batches of (at most) this size inside one host call, dispatched
     asynchronously so the fixed per-dispatch latency and the compile
     cache amortize while the working set stays below the HBM knee
-    (measured on v5e/16G at the headline 49px config: throughput
-    collapses 23.7k -> 12.3k stamps/s between B=6144 and B=8192).
+    (measured on v5e/16G at the headline 49px config with the
+    partial-iDFT fit-window crop: ~33k stamps/s flat from B=8192
+    through 16384; the pre-crop pipeline collapsed above 6144).
     Chunks are dispatched before any result is fetched, so the device
     queue stays full. None disables chunking. Results are
     concatenated; per-lane outputs are identical to a single-batch run
@@ -1020,15 +1100,28 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
     # dilate mode: LM needs the rendered per-type target psf stamps
     # for its psf model (the target is NOT an analytic gaussian)
     need_psf_stamps = conf.psf_mode == "dilate" and is_lm
+    # centered square fit windows evaluate only the window via
+    # partial-iDFT matmuls (see metacal_pipeline)
+    crop = None
+    if (
+        conf.fit_dims is not None
+        and conf.dims[0] == conf.dims[1]
+        and conf.fit_dims[0] == conf.fit_dims[1]
+        and (conf.dims[0] - conf.fit_dims[0]) % 2 == 0
+    ):
+        cf, _ = conf.fit_dims
+        crop = (
+            (conf.dims[0] - cf) // 2, (conf.dims[1] - cf) // 2, cf, cf
+        )
     if need_psf_stamps:
         odict, sigma, psfdict = metacal_image_set(
             fold(images), fold(cens), fold(psf_images), fold(psf_cens),
-            conf, psfdata=psfdata, with_psf_images=True,
+            conf, psfdata=psfdata, with_psf_images=True, crop=crop,
         )
     else:
         odict, sigma = metacal_image_set(
             fold(images), fold(cens), fold(psf_images), fold(psf_cens),
-            conf, psfdata=psfdata,
+            conf, psfdata=psfdata, crop=crop,
         )
         psfdict = None
     if conf.fixnoise:
@@ -1036,7 +1129,7 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
         noise_rot = jnp.rot90(fold(noise), k=1, axes=(-2, -1))
         ndict, _ = metacal_image_set(
             noise_rot, cen_c, fold(psf_images), fold(psf_cens), conf,
-            psfdata=psfdata,
+            psfdata=psfdata, crop=crop,
         )
         for t in odict:
             odict[t] = odict[t] + jnp.rot90(ndict[t], k=3, axes=(-2, -1))
@@ -1054,7 +1147,12 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
     wt_st = jnp.tile(fold(weights), (T, 1, 1))
     cens_st = jnp.tile(fold(cens), (T, 1))
     conf_fit = conf
-    if conf.fit_dims is not None:
+    if crop is not None:
+        r0, c0, fh, fw = crop
+        wt_st = wt_st[:, r0:r0 + fh, c0:c0 + fw]
+        cens_st = cens_st - jnp.asarray([r0, c0], cens_st.dtype)
+        conf_fit = conf._replace(dims=(fh, fw))
+    elif conf.fit_dims is not None:
         fh, fw = conf.fit_dims
         r0 = (conf.dims[0] - fh) // 2
         c0 = (conf.dims[1] - fw) // 2
@@ -1167,11 +1265,10 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
                 def f(q):
                     return fdiff_fn(q, dd)
 
-                r = f(p)
-                J = jax.jacfwd(f)(p)
-                return jnp.sum(r * r), J.T @ r, J.T @ J
+                return f(p), jax.jacfwd(f)(p)
 
-            return jax.vmap(one)(pars, d)
+            r, J = jax.vmap(one)(pars, d)
+            return _normal_reductions(r, J)
 
         nres = jnp.sum(pixels.ierr > 0, axis=(-2, -1))
         caps = tuple(

@@ -422,8 +422,13 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
             rows = prior_rows_batch(x)  # [B, n_prior_rows]
             Jp = prior_jac_batch(x)  # [B, n_prior_rows, npars]
             cost = cost + jnp.sum(rows * rows, axis=-1)
-            Jtr = Jtr + jnp.einsum("bri,br->bi", Jp, rows)
-            JtJ = JtJ + jnp.einsum("bri,brj->bij", Jp, Jp)
+            # explicit broadcast-reduce rather than einsum: the
+            # batched-GEMM lowering of tiny (n_rows x npars)
+            # contractions strands the MXU (see batch._normal_reductions)
+            Jtr = Jtr + jnp.sum(Jp * rows[..., None], axis=-2)
+            JtJ = JtJ + jnp.sum(
+                Jp[..., :, None] * Jp[..., None, :], axis=-3
+            )
         g = i2e_grad(y, lo, hi)
         return (cost, cost_pix, Jtr * g,
                 JtJ * g[..., :, None] * g[..., None, :])

@@ -356,6 +356,37 @@ def remap_k(khat, M, **unused):
     return out
 
 
+def partial_idft_matrix(N, start, count, dtype=np.complex128):
+    """compile-time [N, count] inverse-DFT evaluation matrix for output
+    rows start..start+count-1 of an N-point inverse transform:
+    E[m, r] = exp(2 pi i m (start + r) / N) / N.
+
+    Evaluating only the rows a centered crop keeps turns the inverse
+    FFT into a skinny MXU matmul that does crop/N of the work - the
+    partial-output analog of the remap's fused evaluation matrices.
+    Host-precision phases (f64) for the same reason as
+    _scale_axis_matmul's W.
+    """
+    m = np.fft.fftfreq(N, d=1.0 / N)
+    r = start + np.arange(count)
+    return np.exp((2j * np.pi / N) * np.outer(m, r)) / N
+
+
+def idft2_crop(khat, r0, c0, nrows, ncols):
+    """rows r0..r0+nrows-1, cols c0..c0+ncols-1 of ifft2(khat), via two
+    partial-iDFT matmuls (exact; Precision.HIGHEST)."""
+    N = khat.shape[-1]
+    cdtype = jnp.result_type(khat.dtype, np.complex64)
+    Er = jnp.asarray(partial_idft_matrix(N, r0, nrows), cdtype)
+    Ec = jnp.asarray(partial_idft_matrix(N, c0, ncols), cdtype)
+    out = jnp.einsum(
+        "...mn,mr->...rn", khat, Er, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "...rn,nc->...rc", out, Ec, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def deconvolve_k(imhat, psfhat, eps=1.0e-10):
     """I(k)/P(k) with an amplitude floor to keep the division finite;
     modes at the floor are strongly suppressed by the target-psf
