@@ -308,24 +308,35 @@ def metacal_image_set(images, cens, psf_images, psf_cens,
     return out, sigma
 
 
+def _center_phase(cens, N, dtype, sign):
+    """separable center-shift phase e^{sign*i(kr c0 + kc c1)} as the
+    outer product of two 1-D phase vectors: 2*B*N transcendentals
+    instead of B*N^2 (the broadcast multiply is cheap; the exps were
+    ~25M per transform at B=6144, N=64)"""
+    kr, kc = kops.kgrids(N, dtype=dtype)
+    pr = jnp.exp(sign * 1j * kr[:, 0][None, :] * cens[:, 0, None])
+    pc = jnp.exp(sign * 1j * kc[0, :][None, :] * cens[:, 1, None])
+    return pr[:, :, None] * pc[:, None, :]
+
+
 def _batched_centered_fft(img, cens, N):
     H, W = img.shape[-2:]
+    phase = _center_phase(cens, N, img.real.dtype, +1.0)
+    if H <= N // 2 and W <= N // 2:
+        # skinny blocks (psf stamps): partial-input DFT matmuls beat
+        # padding to the full grid. For near-full blocks (the galaxy
+        # stamps at pad 1.3) XLA's fft2 HLO measured faster - the
+        # full-transform DFT-matmul lesson holds (kops.fft2_auto doc).
+        return kops.dft2_zeropad(img, N) * phase
     pad = jnp.zeros(img.shape[:-2] + (N, N), dtype=jnp.complex128
                     if img.dtype == jnp.float64 else jnp.complex64)
     pad = pad.at[..., :H, :W].set(img)
-    kr, kc = kops.kgrids(N, dtype=img.real.dtype)
-    phase = jnp.exp(
-        1j * (kr * cens[:, 0, None, None] + kc * cens[:, 1, None, None])
-    )
     return kops.fft2_auto(pad) * phase
 
 
 def _batched_centered_ifft(khat, cens, dims):
     N = khat.shape[-1]
-    kr, kc = kops.kgrids(N)
-    phase = jnp.exp(
-        -1j * (kr * cens[:, 0, None, None] + kc * cens[:, 1, None, None])
-    )
+    phase = _center_phase(cens, N, khat.real.dtype, -1.0)
     full = kops.fft2_auto(khat * phase, inverse=True).real
     return full[..., : dims[0], : dims[1]]
 
@@ -334,10 +345,7 @@ def _batched_centered_ifft_crop(khat, cens, r0, c0, fh, fw):
     """only rows r0..r0+fh-1, cols c0..c0+fw-1 of the centered inverse
     transform, via partial-iDFT matmuls (kops.idft2_crop)"""
     N = khat.shape[-1]
-    kr, kc = kops.kgrids(N)
-    phase = jnp.exp(
-        -1j * (kr * cens[:, 0, None, None] + kc * cens[:, 1, None, None])
-    )
+    phase = _center_phase(cens, N, khat.real.dtype, -1.0)
     return kops.idft2_crop(khat * phase, r0, c0, fh, fw).real
 
 

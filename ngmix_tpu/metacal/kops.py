@@ -372,6 +372,27 @@ def partial_idft_matrix(N, start, count, dtype=np.complex128):
     return np.exp((2j * np.pi / N) * np.outer(m, r)) / N
 
 
+def dft2_zeropad(img, N):
+    """forward 2-D DFT of an [..., H, W] real block zero-padded to
+    N x N, via partial-INPUT DFT matmuls: only the H (W) nonzero input
+    rows (columns) enter the contraction, and the pad buffer is never
+    materialized. Exact (Precision.HIGHEST); the input-side analog of
+    idft2_crop."""
+    H, W = img.shape[-2:]
+    mf = np.fft.fftfreq(N, d=1.0 / N)
+    Fr = np.exp((-2j * np.pi / N) * np.outer(np.arange(H), mf))
+    Fc = np.exp((-2j * np.pi / N) * np.outer(np.arange(W), mf))
+    cdtype = jnp.result_type(img.dtype, np.complex64)
+    Fr = jnp.asarray(Fr, cdtype)
+    Fc = jnp.asarray(Fc, cdtype)
+    out = jnp.einsum(
+        "...hw,hm->...mw", img, Fr, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "...mw,wn->...mn", out, Fc, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def idft2_crop(khat, r0, c0, nrows, ncols):
     """rows r0..r0+nrows-1, cols c0..c0+ncols-1 of ifft2(khat), via two
     partial-iDFT matmuls (exact; Precision.HIGHEST)."""
