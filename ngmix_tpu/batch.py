@@ -45,6 +45,17 @@ class MetacalConfig(NamedTuple):
     # the model support carry zero parameter gradient, so fitting on a
     # crop is the same objective at a fraction of the evaluation cost
     fit_dims: tuple = None
+    # LM measures only: when > 0, run the full LM solve on the noshear
+    # type alone and refine the sheared types with this many
+    # unconditional damped Gauss-Newton steps from the noshear optimum
+    # (run_gn_refine_batched). Agrees with the full solve to ~1e-8 in
+    # pars at niter=3 (identical m), but MEASURED SLOWER on v5e at the
+    # headline config (303 -> 349 ms at B=10240, niter=3): the
+    # straggler-compacted stacked LM already beats unconditional
+    # refinement plus the lane-gather copies. Kept for shapes where
+    # the tradeoff may flip (e.g. cheap-converging 9-type sets);
+    # default 0 = full LM on every type.
+    sheared_refine: int = 0
 
 
 def _host_jacobian(conf, row0=0.0, col0=0.0):
@@ -538,10 +549,21 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
                 ),
                 (len(types), 1),
             )
-        res_all = _exp_lm_measure(
-            pixels, psf_moms_all, lm_conf or LMConf(), model=measure[:-3],
-            prior=lm_prior, bounds=lm_bounds,
-        )
+        if (
+            conf.sheared_refine
+            and "noshear" in types
+            and len(types) > 1
+        ):
+            res_all = _lm_with_sheared_refine(
+                pixels, psf_moms_all, lm_conf or LMConf(), types, B,
+                model=measure[:-3], prior=lm_prior, bounds=lm_bounds,
+                niter=conf.sheared_refine,
+            )
+        else:
+            res_all = _exp_lm_measure(
+                pixels, psf_moms_all, lm_conf or LMConf(),
+                model=measure[:-3], prior=lm_prior, bounds=lm_bounds,
+            )
     else:
         raise ValueError("bad measure: %s" % measure)
 
@@ -749,10 +771,58 @@ def _clamp_guess_in_bounds(guess, lo, hi):
     return jnp.clip(guess, lo + 1.0e-3 * span, hi - 1.0e-3 * span)
 
 
+def _lm_with_sheared_refine(pixels, psf_moms_all, lm_conf, types, B,
+                            model, prior, bounds, niter):
+    """full LM on the noshear lanes; the other metacal types take
+    ``niter`` unconditional damped GN steps from the noshear optimum
+    (fitting.lm.run_gn_refine_batched) - the sheared targets differ by
+    an O(step) perturbation so the refinement converges quadratically
+    at a fixed, compaction-free cost. Results reassemble in type
+    order with the same keys as the single stacked solve."""
+    T = len(types)
+    i_ns = types.index("noshear")
+    sl_ns = slice(i_ns * B, (i_ns + 1) * B)
+    pix_ns = jax.tree.map(lambda x: x[sl_ns], pixels)
+    res_ns = _exp_lm_measure(
+        pix_ns, psf_moms_all[sl_ns], lm_conf, model=model, prior=prior,
+        bounds=bounds,
+    )
+    others = [i for i in range(T) if i != i_ns]
+    idx = jnp.concatenate(
+        [jnp.arange(i * B, (i + 1) * B) for i in others]
+    )
+    pix_o = jax.tree.map(lambda x: x[idx], pixels)
+    guess_o = jnp.tile(res_ns["pars"], (len(others), 1))
+    res_o = _exp_lm_measure(
+        pix_o, psf_moms_all[idx], lm_conf, model=model, prior=prior,
+        bounds=bounds, guess=guess_o, refine=niter,
+    )
+
+    out = {}
+    for key, v_ns in res_ns.items():
+        v_o = res_o[key]
+        if not (
+            hasattr(v_ns, "ndim") and v_ns.ndim >= 1
+            and v_ns.shape[0] == B
+        ):
+            out[key] = v_ns
+            continue
+        blocks = []
+        j = 0
+        for i in range(T):
+            if i == i_ns:
+                blocks.append(v_ns)
+            else:
+                blocks.append(v_o[j * B:(j + 1) * B])
+                j += 1
+        out[key] = jnp.concatenate(blocks, axis=0)
+    return out
+
+
 def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
                     use_pallas=None, interpret=False,
                     compact_capacity="auto", model="exp",
-                    prior=None, bounds=None, guess=None):
+                    prior=None, bounds=None, guess=None, refine=0):
     """batched simple-model LM fit (model in "exp" | "gauss" | "dev");
     psf is the analytic round target gaussian.
     Starting guesses come from a cheap gaussian weighted-moments pass
@@ -836,10 +906,18 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
         data = (pixels, psf_gmix)
         normal_fn = _make_ad_normal_fn(fill_fn)
     prior_fn = None if prior is None else prior.fill_fdiff_device
-    out = run_lm_normal_batched(
-        normal_fn, data, guess, lo, hi, lm_conf, nres=nres,
-        compact_capacity=compact_capacity, prior_fn=prior_fn,
-    )
+    if refine:
+        from .fitting.lm import run_gn_refine_batched
+
+        out = run_gn_refine_batched(
+            normal_fn, data, guess, lo, hi, lm_conf, nres=nres,
+            niter=refine, prior_fn=prior_fn,
+        )
+    else:
+        out = run_lm_normal_batched(
+            normal_fn, data, guess, lo, hi, lm_conf, nres=nres,
+            compact_capacity=compact_capacity, prior_fn=prior_fn,
+        )
     out["e1"] = out["pars"][:, 2]
     out["e2"] = out["pars"][:, 3]
     out["T"] = out["pars"][:, 4]

@@ -569,8 +569,16 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
             lambda full, part: full.at[idx].set(part),
             prev_state, cur_state,
         )
-    out = cur_state
+    return _normal_epilogue(cur_state, lo, hi, conf, nres, k_space)
 
+
+def _normal_epilogue(out, lo, hi, conf, nres, k_space):
+    """pars/covariance/flags from a finished normal-equation solver
+    state (shared by the LM while_loop and the fixed-iteration GN
+    refiner): chi^2/dof-scaled covariance via unrolled cholesky, flag
+    semantics matching run_leastsq (see PARITY.md deviations)."""
+    B, npars = out["y"].shape
+    dtype = out["y"].dtype
     y = out["y"]
     pars = i2e(y, lo, hi)
 
@@ -656,3 +664,70 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
         "cost": out["cost"],
         "s_sq": s_sq,
     }
+
+
+def run_gn_refine_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
+                          nres, niter=3, lam=1.0e-6, k_space=False,
+                          prior_fn=None):
+    """Fixed-iteration damped Gauss-Newton refinement from a
+    near-optimal start.
+
+    For the sheared metacal types the fit target differs from the
+    (already solved) noshear fit by an O(step) perturbation, so a few
+    unconditional damped-GN steps from the noshear optimum converge
+    quadratically - no accept/reject machinery, no while_loop, no
+    straggler tail. LM warm-starting was measured to LOSE here
+    (trial steps at an optimum get rejected, which both counts as an
+    eval and escalates lambda - see CLAUDE.md); unconditional GN has
+    neither failure mode. ``niter`` steps unroll at trace time; one
+    extra normal evaluation at the final point feeds the shared
+    chi^2/dof covariance epilogue. Steps that go non-finite are
+    dropped (the lane keeps its current point and the epilogue's
+    covariance/flag checks report the failure).
+    """
+    guess = jnp.asarray(guess)
+    dtype = guess.dtype
+    lo = jnp.asarray(lo, dtype)
+    hi = jnp.asarray(hi, dtype)
+
+    if prior_fn is not None:
+        prior_rows_batch = jax.vmap(prior_fn)
+        prior_jac_batch = jax.vmap(jax.jacfwd(prior_fn))
+
+    def eval_normal(y):
+        x = i2e(y, lo, hi)
+        cost_pix, Jtr, JtJ = normal_fn(x, data)
+        cost = cost_pix
+        if prior_fn is not None:
+            rows = prior_rows_batch(x)
+            Jp = prior_jac_batch(x)
+            cost = cost + jnp.sum(rows * rows, axis=-1)
+            Jtr = Jtr + jnp.sum(Jp * rows[..., None], axis=-2)
+            JtJ = JtJ + jnp.sum(
+                Jp[..., :, None] * Jp[..., None, :], axis=-3
+            )
+        g = i2e_grad(y, lo, hi)
+        return (cost, cost_pix, Jtr * g,
+                JtJ * g[..., :, None] * g[..., None, :])
+
+    y = e2i(guess, lo, hi)
+    lam_v = jnp.asarray(lam, dtype)
+    for _ in range(niter):
+        _, _, Jtr, JtJ = eval_normal(y)
+        dy = jax.vmap(lambda A, b: _solve_damped(A, b, lam_v))(JtJ, Jtr)
+        ok = jnp.all(jnp.isfinite(dy), axis=-1)
+        y = y + jnp.where(ok[:, None], dy, 0.0)
+
+    cost, cost_pix, _, JtJ = eval_normal(y)
+    B = y.shape[0]
+    state = {
+        "y": y,
+        "cost": cost,
+        "cost_pix": cost_pix,
+        "JtJ": JtJ,
+        "nfev": jnp.full((B,), niter + 1, jnp.int32),
+        "done": jnp.ones((B,), bool),
+        "ier_small_step": jnp.ones((B,), bool),
+        "ier_small_cost": jnp.zeros((B,), bool),
+    }
+    return _normal_epilogue(state, lo, hi, conf, nres, k_space)

@@ -270,6 +270,70 @@ def test_metacal_requires_shape_type():
     assert obs2.image.shape == obs.image.shape
 
 
+def test_partial_dft_matrices_exact():
+    """idft2_crop and dft2_zeropad (the partial-output / partial-input
+    DFT matmuls driving the fit-window fast path) match full FFTs to
+    roundoff"""
+    import numpy as np
+    import jax.numpy as jnp
+    from ngmix_tpu.metacal import kops
+
+    rng = np.random.RandomState(5)
+    N = 48
+    # partial output: crop of an inverse transform
+    khat = jnp.asarray(
+        rng.normal(size=(3, N, N)) + 1j * rng.normal(size=(3, N, N))
+    )
+    full = jnp.fft.ifft2(khat)
+    crop = kops.idft2_crop(khat, 7, 11, 19, 13)
+    np.testing.assert_allclose(
+        np.asarray(crop), np.asarray(full[:, 7:26, 11:24]),
+        rtol=1e-10, atol=1e-12,
+    )
+    # partial input: forward transform of a zero-padded block
+    img = jnp.asarray(rng.normal(size=(3, 21, 17)))
+    pad = jnp.zeros((3, N, N)).at[:, :21, :17].set(img)
+    np.testing.assert_allclose(
+        np.asarray(kops.dft2_zeropad(img, N)),
+        np.asarray(jnp.fft.fft2(pad)),
+        rtol=1e-10, atol=1e-10,
+    )
+
+
+def test_sheared_refine_matches_full_lm():
+    """MetacalConfig.sheared_refine (GN refinement of the sheared
+    types from the noshear optimum) agrees with the full stacked LM to
+    ~1e-7 in every parameter and yields the identical calibration"""
+    import numpy as np
+    from ngmix_tpu.batch import (
+        MetacalConfig, metacal_pipeline, shear_response,
+    )
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_batch_pipeline import _sim_batch, DIMS, PSF_DIMS, SCALE
+
+    rng = np.random.RandomState(71)
+    args = _sim_batch(rng, 16)
+    conf0 = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+    )
+    r0 = metacal_pipeline(*args, conf0, measure="exp-lm")
+    r3 = metacal_pipeline(
+        *args, conf0._replace(sheared_refine=3), measure="exp-lm"
+    )
+    for t in ("noshear", "1p", "2m"):
+        assert np.all(np.asarray(r3[t]["flags"]) == 0)
+        np.testing.assert_allclose(
+            np.asarray(r3[t]["pars"]), np.asarray(r0[t]["pars"]),
+            rtol=0, atol=1e-6,
+        )
+    s0, s3 = shear_response(r0), shear_response(r3)
+    assert abs(float(s0["shear"][0]) - float(s3["shear"][0])) < 1e-7
+
+
 def test_fft_matmul_mode_matches_xla_fft():
     """the DFT-matmul FFT toggle is exact: both modes agree to f32
     roundoff on centered_fft/centered_ifft round trips"""
