@@ -71,28 +71,29 @@ def _momsums(wt6, pixels, with_cov=True):
         + drr[..., None] * umod * umod
         - 2.0 * drc[..., None] * vmod * umod
     )
-    F = jnp.stack(
-        [
-            pixels.v,
-            pixels.u,
-            umod * umod - vmod * vmod,
-            2 * vmod * umod,
-            umod * umod + vmod * vmod,
-            jnp.ones_like(vmod),
-            chi2 * chi2,
-        ],
-        axis=-1,
-    )
+    feats = [
+        pixels.v,
+        pixels.u,
+        umod * umod - vmod * vmod,
+        2 * vmod * umod,
+        umod * umod + vmod * vmod,
+        jnp.ones_like(vmod),
+        chi2 * chi2,
+    ]
     wdata = w * pixels.val
-    sums = jnp.einsum("...p,...pi->...i", wdata, F)
     wsum = jnp.sum(w, axis=-1)
-    if not with_cov:
-        return sums, None, wsum
-    mask = pixels.ierr > 0
-    ierr_safe = jnp.where(mask, pixels.ierr, 1.0)
-    var = 1.0 / (ierr_safe * ierr_safe)
-    w2var = w * w * var
-    sums_cov = jnp.einsum("...p,...pi,...pj->...ij", w2var, F, F)
+    if with_cov:
+        mask = pixels.ierr > 0
+        ierr_safe = jnp.where(mask, pixels.ierr, 1.0)
+        var = 1.0 / (ierr_safe * ierr_safe)
+        w2var = w * w * var
+    else:
+        w2var = None
+    # unrolled 7-feature reductions (gcore.weighted_feature_reductions:
+    # the einsum lowering was an MXU-stranding batched small GEMM)
+    sums, sums_cov = gcore.weighted_feature_reductions(
+        wdata, feats, cov_weight=w2var
+    )
     return sums, sums_cov, wsum
 
 

@@ -430,11 +430,11 @@ def gmix_fill(model, pars, fracdev=None, TdByTe=None):
 # ----------------------------------------------------------------------
 # weighted moment sums
 
-def _moment_features(vmod, umod, v, u, higher_order=False):
-    """stack moment basis functions F [..., npix, nmom]
+def _moment_feature_list(vmod, umod, v, u, higher_order=False):
+    """moment basis functions as a list of [..., npix] arrays.
 
     order matches ngmix/moments.py MOMENTS_NAME_MAP and the reference
-    sums kernels (gmix_nb.py:682-821). Note F[0], F[1] are the
+    sums kernels (gmix_nb.py:682-821). The first two are the
     *absolute* coords v, u; the quadratic+ terms use centered coords.
     """
     rad2 = umod * umod + vmod * vmod
@@ -464,7 +464,48 @@ def _moment_features(vmod, umod, v, u, higher_order=False):
             r4 * rad2,
             r4 * r4,
         ]
-    return jnp.stack(feats, axis=-1)
+    return feats
+
+
+def _moment_features(vmod, umod, v, u, higher_order=False):
+    """stacked moment basis F [..., npix, nmom] (einsum consumers)"""
+    return jnp.stack(
+        _moment_feature_list(vmod, umod, v, u, higher_order), axis=-1
+    )
+
+
+def weighted_feature_reductions(w, feats, cov_weight=None):
+    """sums_i = sum_p w[..., p] f_i[..., p] and (optionally)
+    cov_ij = sum_p cov_weight[..., p] f_i f_j, with the small feature
+    indices UNROLLED: XLA lowers the equivalent einsums to batched
+    GEMMs with M=N=nmom(<=8 here) that strand the MXU at a few percent
+    tile occupancy (the same pathology ops/small_linalg.py and the LM
+    normal reductions remove); n(n+3)/2 fused multiply-reduces
+    vectorize the batch/pixel dims on the VPU instead, and the
+    [..., npix, nmom] feature stack is never materialized.
+
+    feats: list of [..., npix] feature arrays. Returns (sums, cov) with
+    cov None when cov_weight is None.
+    """
+    n = len(feats)
+    sums = jnp.stack(
+        [jnp.sum(w * f, axis=-1) for f in feats], axis=-1
+    )
+    if cov_weight is None:
+        return sums, None
+    rows = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i, n):
+            rows[i][j] = jnp.sum(
+                cov_weight * feats[i] * feats[j], axis=-1
+            )
+    for i in range(n):
+        for j in range(i):
+            rows[i][j] = rows[j][i]
+    cov = jnp.stack(
+        [jnp.stack(r, axis=-1) for r in rows], axis=-2
+    )
+    return sums, cov
 
 
 def get_weighted_sums(wt, pixels, maxrad, higher_order=False,
@@ -508,12 +549,23 @@ def get_weighted_sums(wt, pixels, maxrad, higher_order=False,
     wdata = weight * pixels.val
     w2var = weight * weight * var
 
-    F = _moment_features(vmod, umod, pixels.v, pixels.u, higher_order)
-    sums = jnp.einsum("...p,...pi->...i", wdata, F)
-    if with_cov:
-        sums_cov = jnp.einsum("...p,...pi,...pj->...ij", w2var, F, F)
+    feats = _moment_feature_list(
+        vmod, umod, pixels.v, pixels.u, higher_order
+    )
+    if len(feats) <= 8:
+        # unrolled multiply-reduces (see weighted_feature_reductions);
+        # the 17-moment higher-order path keeps the einsum (compile
+        # size; it is not on a hot path)
+        sums, sums_cov = weighted_feature_reductions(
+            wdata, feats, cov_weight=w2var if with_cov else None
+        )
     else:
-        sums_cov = None
+        F = jnp.stack(feats, axis=-1)
+        sums = jnp.einsum("...p,...pi->...i", wdata, F)
+        sums_cov = (
+            jnp.einsum("...p,...pi,...pj->...ij", w2var, F, F)
+            if with_cov else None
+        )
 
     return {
         "sums": sums,
