@@ -389,7 +389,7 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
     noise: [B, H, W] noise field for fixnoise (pass zeros with
     fixnoise=False). measure: "gaussmom" (fixed gaussian weighted
     moments), "admom" (adaptive moments), or "<model>-lm" with model
-    in gauss/exp/dev (bounded LM fits). lm_prior/lm_bounds regularize
+    in gauss/exp/dev/bdf/bd (bounded LM fits). lm_prior/lm_bounds regularize
     the LM measures (see _exp_lm_measure). Returns dict type -> result
     dict of batched arrays.
     """
@@ -579,12 +579,22 @@ def metacal_pipeline(images, weights, cens, psf_images, psf_cens, noise,
     return results
 
 
-# simple 6-parameter models available as batched metacal measures
+# models available as batched metacal measures: the simple
+# 6-parameter families plus the bulge+disk composites - bdf (fixed
+# Td/Te=1, varying fracdev; 7 pars, ref: gmix_nb.py:516-558) and bd
+# (varying log10(Td/Te) AND fracdev; 8 pars, ref: gmix_nb.py:470-512)
 _MODEL_FILLS = {
     "exp": gcore.fill_exp,
     "gauss": gcore.fill_gauss,
     "dev": gcore.fill_dev,
+    "bdf": gcore.fill_bdf,
+    "bd": gcore.fill_bd,
 }
+# parameters before the flux column(s)
+_MODEL_NSHAPE = {"exp": 5, "gauss": 5, "dev": 5, "bdf": 6, "bd": 7}
+# starting values for the extra shape columns (after [cen, g, T]):
+# fracdev 0.5; bd's log10(Td/Te) 0 (equal sizes)
+_MODEL_EXTRA_GUESS = {"bdf": (0.5,), "bd": (0.0, 0.5)}
 
 
 def _model_lm_fdiff(pars, data, fill_fn):
@@ -823,8 +833,11 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
                     use_pallas=None, interpret=False,
                     compact_capacity="auto", model="exp",
                     prior=None, bounds=None, guess=None, refine=0):
-    """batched simple-model LM fit (model in "exp" | "gauss" | "dev");
-    psf is the analytic round target gaussian.
+    """batched model LM fit (model in "exp" | "gauss" | "dev" |
+    "bdf" | "bd"); psf is the analytic round target gaussian. bdf
+    adds a fracdev column before the flux (7 pars, started at
+    fracdev=0.5); bd adds [log10(Td/Te), fracdev] (8 pars, started at
+    [0, 0.5]). ref: gmix_nb.py:470-558, fitting/results.py:1013-1047.
     Starting guesses come from a cheap gaussian weighted-moments pass
     (deweighted size, measured shape and centroid), cutting the LM
     iteration count roughly in half vs fixed-scale guesses.
@@ -863,18 +876,26 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
     psf_gmix = psf_gmix.at[:, 0, 4].set(p_irc)
     psf_gmix = psf_gmix.at[:, 0, 5].set(p_icc)
 
+    nshape = _MODEL_NSHAPE[model]
+    npars = nshape + 1
     # moments-based starting guesses (skipped when the caller supplies
-    # them, e.g. warm starts from the noshear fit)
+    # them, e.g. warm starts from the noshear fit); models with extra
+    # shape columns (bdf fracdev) start those at 0.5
     if guess is None:
         guess5, wsum = _moments_lm_guess(
             pixels, p_irr + p_icc, guess_fwhm
         )
-        guess = jnp.concatenate([guess5, wsum[:, None]], axis=-1)
+        cols = [guess5]
+        if nshape > 5:
+            extra = jnp.asarray(_MODEL_EXTRA_GUESS[model], dtype)
+            cols.append(jnp.broadcast_to(extra, (B, nshape - 5)))
+        cols.append(wsum[:, None])
+        guess = jnp.concatenate(cols, axis=-1)
     else:
         guess = jnp.asarray(guess, dtype)
     if bounds is None:
-        lo = jnp.full(6, -jnp.inf, dtype)
-        hi = jnp.full(6, jnp.inf, dtype)
+        lo = jnp.full(npars, -jnp.inf, dtype)
+        hi = jnp.full(npars, jnp.inf, dtype)
     else:
         lo = jnp.asarray(bounds[0], dtype)
         hi = jnp.asarray(bounds[1], dtype)
@@ -921,11 +942,16 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
     out["e1"] = out["pars"][:, 2]
     out["e2"] = out["pars"][:, 3]
     out["T"] = out["pars"][:, 4]
-    out["flux"] = out["pars"][:, 5]
-    ferr = out["pars_err"][:, 5]
+    out["flux"] = out["pars"][:, nshape]
+    ferr = out["pars_err"][:, nshape]
     out["s2n"] = jnp.where(
         ferr > 0, jnp.abs(out["flux"]) / ferr, 0.0
     )
+    if model == "bdf":
+        out["fracdev"] = out["pars"][:, 5]
+    elif model == "bd":
+        out["logTdByTe"] = out["pars"][:, 5]
+        out["fracdev"] = out["pars"][:, 6]
     return out
 
 
@@ -1131,8 +1157,8 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
     set is built independently (the epoch axis folds into the batch
     axis for the k-space engine).
 
-    measure: "<model>-lm" with model in gauss/exp/dev - a single
-    joint multi-band LM fit per type with npars = 5 + nband (the
+    measure: "<model>-lm" with model in gauss/exp/dev/bdf/bd - a single
+    joint multi-band LM fit per type with npars = nshape + nband (the
     reference runs the same joint fit through the metacal bootstrap,
     ngmix/metacal/bootstrap.py:63-119 with multi-band pars sliced per
     band, ngmix/fitting/results.py:1013-1047) - or "gaussmom"/"admom"
@@ -1332,9 +1358,17 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
         flux_guess = (
             jnp.sum(wsum_e[:, :, None] * onehot, axis=1) / nep_band
         )
-        guess = jnp.concatenate([guess5, flux_guess], axis=-1)
+        nshape = _MODEL_NSHAPE[model]
+        cols = [guess5]
+        if nshape > 5:
+            extra = jnp.asarray(_MODEL_EXTRA_GUESS[model], dtype)
+            cols.append(
+                jnp.broadcast_to(extra, (guess5.shape[0], nshape - 5))
+            )
+        cols.append(flux_guess)
+        guess = jnp.concatenate(cols, axis=-1)
 
-        npars = 5 + nband
+        npars = nshape + nband
         if lm_bounds is None:
             lo = jnp.full(npars, -jnp.inf, dtype)
             hi = jnp.full(npars, jnp.inf, dtype)
@@ -1376,19 +1410,24 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
         # 1-epoch/multi-epoch ragged buckets merge; multi-band keeps
         # [B, nband]
         if nband == 1:
-            out["flux"] = out["pars"][:, 5]
-            ferr = out["pars_err"][:, 5]
+            out["flux"] = out["pars"][:, nshape]
+            ferr = out["pars_err"][:, nshape]
             out["s2n"] = jnp.where(
                 ferr > 0, jnp.abs(out["flux"]) / ferr, 0.0
             )
         else:
-            out["flux"] = out["pars"][:, 5:]
-            ferr = out["pars_err"][:, 5:]
+            out["flux"] = out["pars"][:, nshape:]
+            ferr = out["pars_err"][:, nshape:]
             fsum = jnp.sum(out["flux"], axis=-1)
             esum = jnp.sqrt(jnp.sum(ferr**2, axis=-1))
             out["s2n"] = jnp.where(
                 esum > 0, jnp.abs(fsum) / esum, 0.0
             )
+        if model == "bdf":
+            out["fracdev"] = out["pars"][:, 5]
+        elif model == "bd":
+            out["logTdByTe"] = out["pars"][:, 5]
+            out["fracdev"] = out["pars"][:, 6]
 
     results = {}
     for i, t in enumerate(conf.types):

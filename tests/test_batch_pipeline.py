@@ -306,6 +306,63 @@ def test_batch_pipeline_dev_lm_smoke():
     assert abs(float(sr["shear"][0]) / 0.02 - 1) < 3e-3
 
 
+def test_batch_pipeline_bdf_lm():
+    """bdf-lm (7-par bulge+disk, varying fracdev) runs batched in both
+    pipelines; on pure-exp sims it recovers fracdev ~ 0 and the mb
+    path matches the flat path bitwise for E=1/nband=1"""
+    rng = np.random.RandomState(49)
+    args = _sim_batch(rng, 16)
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+    )
+    lo = np.array([-2, -2, -0.99, -0.99, 0.01, 0.0, 0.1])
+    hi = np.array([2, 2, 0.99, 0.99, 10.0, 1.0, 1e6])
+    res = metacal_pipeline(*args, conf, measure="bdf-lm",
+                           lm_bounds=(lo, hi))
+    assert int(np.sum(np.asarray(res["noshear"]["flags"]) != 0)) == 0
+    sr = shear_response(res)
+    assert abs(float(sr["shear"][0]) / 0.02 - 1) < 3e-3
+    # a pure exp galaxy is bdf with fracdev = 0 (at the lower bound)
+    assert float(jnp.mean(res["noshear"]["fracdev"])) < 0.05
+    assert res["noshear"]["pars"].shape[-1] == 7
+
+    imgs, weights, cens, pimgs, pcens, noise_f = args
+
+    def addE(x):
+        return x[:, None]
+
+    res_mb = metacal_pipeline_mb(
+        addE(imgs), addE(weights), addE(cens), addE(pimgs),
+        addE(pcens), addE(noise_f), jnp.zeros(1, jnp.int32), 1,
+        conf, measure="bdf-lm", lm_bounds=(lo, hi),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_mb["noshear"]["pars"]),
+        np.asarray(res["noshear"]["pars"]),
+    )
+
+
+def test_batch_pipeline_bd_lm_smoke():
+    """bd-lm (8-par bulge+disk, varying log10(Td/Te) AND fracdev)
+    runs batched and calibrates; fracdev ~ 0 on pure-exp sims"""
+    rng = np.random.RandomState(53)
+    args = _sim_batch(rng, 16)
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+    )
+    lo = np.array([-2, -2, -0.99, -0.99, 0.01, -1.0, 0.0, 0.1])
+    hi = np.array([2, 2, 0.99, 0.99, 10.0, 1.0, 1.0, 1e6])
+    res = metacal_pipeline(*args, conf, measure="bd-lm",
+                           lm_bounds=(lo, hi))
+    assert int(np.sum(np.asarray(res["noshear"]["flags"]) != 0)) == 0
+    sr = shear_response(res)
+    assert abs(float(sr["shear"][0]) / 0.02 - 1) < 3e-3
+    assert float(jnp.mean(res["noshear"]["fracdev"])) < 0.05
+    assert res["noshear"]["pars"].shape[-1] == 8
+
+
 def test_batch_pipeline_lm_prior_bounds():
     """the batched LM measure accepts a joint prior + bounds and still
     recovers the shear; the prior pulls flagged-free fits"""
