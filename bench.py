@@ -86,7 +86,7 @@ def make_sim_batch(key, B, dtype=jnp.float32):
 def make_sim_batch_hetero(key, B, dtype=jnp.float32,
                           jac=(SCALE, 0.0, 0.0, SCALE),
                           shear=(SHEAR_TRUE, 0.0), nepoch=None,
-                          gint_max=0.3):
+                          gint_max=0.3, gal_model="exp"):
     """heterogeneous sim batch: per-stamp size/flux/intrinsic shape and
     per-stamp psf shape/size variation, rendered under an arbitrary
     shared WCS (pass a non-diagonal ``jac`` for the sheared-WCS
@@ -97,10 +97,15 @@ def make_sim_batch_hetero(key, B, dtype=jnp.float32,
     cancellation), so the linear shape-noise term drops out of the
     mean-shear statistics and m resolves at measurement-noise
     precision. One jitted program like make_sim_batch.
+
+    gal_model="bdf" renders composite bulge+disk galaxies with
+    per-stamp fracdev drawn from [0.1, 0.9] (paired) instead of pure
+    exponentials — the matched-truth population for validating the
+    bdf-lm measure away from the fracdev bounds.
     """
     assert B % 2 == 0, "pairing needs an even batch"
     H = B // 2
-    kT, kf, kg, kth, kp, kpt, ko, kn, knz = jax.random.split(key, 9)
+    kT, kf, kg, kth, kp, kpt, ko, kn, knz, kfd = jax.random.split(key, 10)
 
     def pair(x):
         return jnp.concatenate([x, x], axis=0)
@@ -113,16 +118,21 @@ def make_sim_batch_hetero(key, B, dtype=jnp.float32,
     g1i = r * jnp.cos(th)
     g2i = r * jnp.sin(th)
     zeros = jnp.zeros((B,), dtype)
-    gal_pars = jnp.stack(
-        [
-            zeros, zeros,
-            jnp.concatenate([g1i, -g1i]),
-            jnp.concatenate([g2i, -g2i]),
-            pair(T), pair(flux),
-        ],
-        axis=-1,
-    )
-    gal, _ = gcore.fill_exp(gal_pars)
+    shape_cols = [
+        zeros, zeros,
+        jnp.concatenate([g1i, -g1i]),
+        jnp.concatenate([g2i, -g2i]),
+        pair(T),
+    ]
+    if gal_model == "bdf":
+        fracdev = jax.random.uniform(kfd, (H,), dtype, 0.1, 0.9)
+        gal_pars = jnp.stack(
+            shape_cols + [pair(fracdev), pair(flux)], axis=-1
+        )
+        gal, _ = gcore.fill_bdf(gal_pars)
+    else:
+        gal_pars = jnp.stack(shape_cols + [pair(flux)], axis=-1)
+        gal, _ = gcore.fill_exp(gal_pars)
     gal = gcore.gmix_get_sheared(gal, shear[0], shear[1])
 
     # per-stamp turb psf (paired): shape +-0.03, T in [0.24, 0.30]

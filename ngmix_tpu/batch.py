@@ -775,10 +775,14 @@ def _moments_lm_guess(pixels, Tpsf, guess_fwhm=1.2):
 
 
 def _clamp_guess_in_bounds(guess, lo, hi):
-    """clamp guesses strictly inside the box so the MINUIT transform
-    starts in the interior"""
+    """clamp guesses strictly inside the box so the bounds transform
+    starts in the interior. The margin must be TINY relative to the
+    span: with wide production bounds (flux in [1e-3, 1e9]) a 1e-3
+    margin would shove a ~1e2 moments-based flux guess up to 1e6,
+    starting the fit nowhere near the optimum; e2i's own clip already
+    handles exactly-on-bound values."""
     span = jnp.where(jnp.isfinite(hi - lo), hi - lo, jnp.ones_like(hi))
-    return jnp.clip(guess, lo + 1.0e-3 * span, hi - 1.0e-3 * span)
+    return jnp.clip(guess, lo + 1.0e-9 * span, hi - 1.0e-9 * span)
 
 
 def _lm_with_sheared_refine(pixels, psf_moms_all, lm_conf, types, B,

@@ -53,8 +53,41 @@ class LMConf(NamedTuple):
 
 
 # ----------------------------------------------------------------------
-# MINUIT-style bounds transforms (ref: leastsqbound.py:183-263)
-# bounds are (lo, hi) arrays with +-inf for unbounded sides.
+# Bounds transforms (same role as the reference's MINUIT-style forms,
+# leastsqbound.py:183-263). One-sided bounds keep the reference's
+# smooth sqrt forms. Two-sided bounds use a LOGISTIC map instead of
+# the reference's sin transform: x = lo + (hi-lo)*sigmoid(y).
+#
+# Why the deviation: the sin form lo + (hi-lo)/2*(sin(y)+1) is
+# catastrophically cancellation-prone in f32 whenever the parameter
+# sits close to one bound relative to the span. Production flux
+# bounds like [1e-3, 1e9] with flux ~1e2 give sin(y)+1 ~ 2e-7, which
+# carries only ~1 significant f32 digit: the representable external
+# flux values are ~10 units apart, so no LM step can resolve an
+# improvement and lanes strand at lambda_max (measured: 21% of a
+# bounded bdf validation batch flagged, m biased to +2e-2). The
+# logistic keeps near-constant RELATIVE resolution across the whole
+# span (~2e-4 flux quantum on the same case) and is globally monotone
+# (the sin form is periodic, aliasing the internal coordinate).
+# MINPACK never sees this because the reference runs it in f64.
+
+# two-sided internal coordinates live in [-_Y_CLIP, _Y_CLIP]: e2i maps
+# on-bound inputs to +-_Y_CLIP (1e-12 of the span from the bound) and
+# the solvers clip accepted steps to the same range, so the logistic
+# gradient span*sigmoid(y)*sigmoid(-y) >= ~1e-12*span never underflows
+# mid-trajectory (an unclipped flat-direction step can land y at -80,
+# where the f32 gradient is exactly 0 and the lane wedges).
+_Y_CLIP = 27.631021  # ln(1e12)
+
+
+def clip_internal(y, lo, hi):
+    """clip two-sided dims of an internal vector to the e2i range;
+    identity for one-sided/unbounded dims (their sqrt forms use the
+    whole line). External values change by < 1e-12 of the span -
+    invisible at f32 resolution."""
+    both = jnp.isfinite(lo) & jnp.isfinite(hi)
+    return jnp.where(both, jnp.clip(y, -_Y_CLIP, _Y_CLIP), y)
+
 
 def i2e(y, lo, hi):
     """internal (unconstrained) -> external (constrained)"""
@@ -63,7 +96,7 @@ def i2e(y, lo, hi):
     s = jnp.sqrt(y * y + 1.0)
     lo_s = jnp.where(has_lo, lo, 0.0)
     hi_s = jnp.where(has_hi, hi, 0.0)
-    both = lo_s + (hi_s - lo_s) / 2.0 * (jnp.sin(y) + 1.0)
+    both = lo_s + (hi_s - lo_s) * jax.nn.sigmoid(y)
     lower = lo_s - 1.0 + s
     upper = hi_s + 1.0 - s
     out = jnp.where(
@@ -81,8 +114,11 @@ def e2i(x, lo, hi):
     lo_s = jnp.where(has_lo, lo, 0.0)
     hi_s = jnp.where(has_hi, hi, 1.0)
     span = jnp.where(has_lo & has_hi, hi_s - lo_s, 1.0)
-    arg = jnp.clip(2.0 * (x - lo_s) / span - 1.0, -1.0, 1.0)
-    both = jnp.arcsin(arg)
+    # clip each side's distance so on-bound inputs map to a finite
+    # internal coordinate (|y| <= log(1e12) ~ 27.6)
+    t = jnp.clip(x - lo_s, 1.0e-12 * span, None)
+    u = jnp.clip(hi_s - x, 1.0e-12 * span, None)
+    both = jnp.log(t) - jnp.log(u)
     lower = jnp.sqrt(
         jnp.clip((x - lo_s + 1.0) ** 2 - 1.0, 0.0, None)
     )
@@ -97,13 +133,15 @@ def e2i(x, lo, hi):
 
 
 def i2e_grad(y, lo, hi):
-    """d external / d internal (ref: leastsqbound.py:183-200)"""
+    """d external / d internal"""
     has_lo = jnp.isfinite(lo)
     has_hi = jnp.isfinite(hi)
     s = jnp.sqrt(y * y + 1.0)
     lo_s = jnp.where(has_lo, lo, 0.0)
     hi_s = jnp.where(has_hi, hi, 0.0)
-    both = (hi_s - lo_s) * jnp.cos(y) / 2.0
+    # sigmoid(y)*(1-sigmoid(y)), computed as sigmoid(y)*sigmoid(-y)
+    # so neither factor rounds to an exact 0/1 until |y| ~ 100
+    both = (hi_s - lo_s) * jax.nn.sigmoid(y) * jax.nn.sigmoid(-y)
     lower = y / s
     upper = -y / s
     return jnp.where(
@@ -202,7 +240,8 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
         step_ok = jnp.all(jnp.isfinite(dy))
         dy = jnp.where(step_ok, dy, 0.0)
 
-        y_try = s["y"] + dy
+        y_try = clip_internal(s["y"] + dy, lo, hi)
+        dy = y_try - s["y"]
         r_try, J_try = resid_and_jac(y_try)
         cost_try = jnp.sum(r_try * r_try)
         cost_try = jnp.where(jnp.isfinite(cost_try), cost_try, jnp.inf)
@@ -257,13 +296,23 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
     pars = i2e(y, lo, hi)
     r = out["r"]
 
-    # external-coordinate covariance: cov_ext = G cov_int G with
-    # G = diag(d external / d internal) (ref: leastsqbound.py:516-527)
-    J = out["J"]
-    JtJ = J.T @ J
+    # external-coordinate covariance (same quantity as the reference's
+    # G cov_int G, leastsqbound.py:516-527) computed by UNDOING the
+    # bounds chain rule on the jacobian (J_ext = J_int / g, an exact
+    # per-column scalar division) and inverting the external JtJ.
+    # Equal to G inv(JtJ_int) G in exact arithmetic, but conditioned
+    # like the unconstrained problem: near a bound g saturates
+    # (~1e-12 of the span) and the internal JtJ's row/col scale by
+    # g^2, which makes chol_inverse(JtJ_int) nan in f32 even when the
+    # fit itself converged cleanly (measured: on-bound fracdev lanes
+    # all flagged LM_SINGULAR_MATRIX). A g that is exactly 0 (a
+    # one-sided parameter sitting exactly ON its bound, y=0) has a
+    # zero internal column - the external curvature is unrecoverable
+    # and the lane flags singular, as the reference's does.
     grad = i2e_grad(y, lo, hi)
-    cov_int = chol_inverse(JtJ)
-    pcov0 = cov_int * grad[:, None] * grad[None, :]
+    g_safe = jnp.where(grad == 0.0, jnp.finfo(dtype).tiny, grad)
+    J_ext = out["J"] / g_safe[None, :]
+    pcov0 = chol_inverse(J_ext.T @ J_ext)
 
     singular = ~jnp.all(jnp.isfinite(pcov0))
 
@@ -463,7 +512,8 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
             step_ok = jnp.all(jnp.isfinite(dy), axis=-1)
             dy = jnp.where(step_ok[:, None], dy, 0.0)
 
-            y_try = s["y"] + dy
+            y_try = clip_internal(s["y"] + dy, lo, hi)
+            dy = y_try - s["y"]
             cost_try, cost_pix_try, Jtr_try, JtJ_try = eval_normal(y_try, d)
             cost_try = jnp.where(jnp.isfinite(cost_try), cost_try, jnp.inf)
 
@@ -582,11 +632,18 @@ def _normal_epilogue(out, lo, hi, conf, nres, k_space):
     y = out["y"]
     pars = i2e(y, lo, hi)
 
-    JtJ = out["JtJ"]
+    # external-space covariance: undo the bounds chain rule on the
+    # stored internal JtJ (JtJ_ext = JtJ_int / g_i g_j, exact scalar
+    # divisions) and invert THAT - equal to G inv(JtJ_int) G in exact
+    # arithmetic but conditioned like the unconstrained problem. The
+    # internal JtJ's on-bound rows scale by g^2 ~ (1e-12 span)^2,
+    # which is numerically singular in f32 even for cleanly converged
+    # fits (see run_lm's epilogue comment).
     grad = i2e_grad(y, lo, hi)
     eye = jnp.eye(npars, dtype=dtype)
-    cov_int = chol_inverse(JtJ)
-    pcov0 = cov_int * grad[..., :, None] * grad[..., None, :]
+    g_safe = jnp.where(grad == 0.0, jnp.finfo(dtype).tiny, grad)
+    JtJ_ext = out["JtJ"] / (g_safe[..., :, None] * g_safe[..., None, :])
+    pcov0 = chol_inverse(JtJ_ext)
 
     singular = ~jnp.all(
         jnp.isfinite(pcov0.reshape(B, -1)), axis=-1

@@ -42,20 +42,22 @@ def make_mesh(devices=None, axis_name="batch"):
 
 
 def make_sharded_pipeline_fn(conf: MetacalConfig, mesh, measure="gaussmom",
-                             measure_fwhm=1.2, axis_name="batch"):
+                             measure_fwhm=1.2, axis_name="batch",
+                             **pipeline_kw):
     """jitted pipeline with the stamp axis sharded over the mesh.
 
     Each device runs the full pipeline on its local slice (shard_map);
     per-stamp results come back batch-sharded while the calibration
     statistics are psum'd across the mesh and replicated. The batch
-    must divide by the mesh size.
+    must divide by the mesh size. Extra keywords (lm_conf / lm_prior /
+    lm_bounds) pass through to metacal_pipeline.
     """
     batch_sharding = NamedSharding(mesh, P(axis_name))
 
     def local_step(images, weights, cens, psf_images, psf_cens, noise):
         results = metacal_pipeline(
             images, weights, cens, psf_images, psf_cens, noise, conf,
-            measure=measure, measure_fwhm=measure_fwhm,
+            measure=measure, measure_fwhm=measure_fwhm, **pipeline_kw,
         )
         local = shear_response_sums(results)
         total = jax.tree.map(

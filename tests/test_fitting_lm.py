@@ -72,6 +72,36 @@ def test_lm_rosenbrock_bounded():
     assert np.allclose(pars[1], 0.5, atol=1e-4)
 
 
+def test_lm_wide_bounds_f32():
+    """two-sided bounds spanning many decades must stay solvable in
+    f32: the reference's sin transform quantizes a parameter ~1e-7 of
+    the way across its span into ~10%-of-value steps (flux ~1e2 inside
+    [1e-3, 1e9]), stranding fits at lambda_max. The logistic transform
+    keeps near-constant relative resolution; this locks that in."""
+    rng = np.random.RandomState(46)
+    A = jnp.asarray(rng.normal(size=(40, 2)), jnp.float32)
+    x_true = jnp.asarray([120.0, 0.4], jnp.float32)
+    sigma = 0.05
+    y = A @ x_true + jnp.asarray(rng.normal(size=40), jnp.float32) * sigma
+
+    def resid(pars, data):
+        return (data["A"] @ pars - data["y"]) / sigma
+
+    lo = jnp.asarray([1.0e-3, 1.0e-3], jnp.float32)
+    hi = jnp.asarray([1.0e9, 20.0], jnp.float32)
+    out = run_lm(
+        resid, {"A": A, "y": y},
+        jnp.asarray([80.0, 1.0], jnp.float32), lo, hi, LMConf(),
+    )
+    assert int(out["flags"]) == 0
+    xhat = np.linalg.lstsq(
+        np.asarray(A, np.float64), np.asarray(y, np.float64), rcond=None
+    )[0]
+    assert np.allclose(np.asarray(out["pars"]), xhat, rtol=1e-3)
+    # and it converges in a sane number of evaluations, not a crawl
+    assert int(out["nfev"]) < 100
+
+
 def test_fitter_gauss_psf_gauss():
     """exp-model LM fit with a psf recovers injected parameters"""
     rng = np.random.RandomState(45)

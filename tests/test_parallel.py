@@ -87,6 +87,50 @@ def test_sharded_pipeline_iterative_measures(measure):
 @pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs the 8-device test mesh"
 )
+def test_sharded_pipeline_kwargs_passthrough():
+    """lm_bounds (and any pipeline kwarg) flow through
+    make_sharded_pipeline_fn and match the single-device run.
+
+    The comparison is tolerance-based, not bitwise: shard_map compiles
+    a different program than the flat jit, so f32 rounding differs and
+    LM accept/reject trajectories can diverge (different nfev) — both
+    runs still land on the same optimum within the stopping tolerance
+    (measured: pars agree to ~1e-7 absolute, centroids included).
+    """
+    rng = np.random.RandomState(13)
+    args = _sim_batch(rng, 16)
+
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2,
+    )
+    # wide production-style box (exercises the logistic transform)
+    lo = np.array([-2, -2, -0.99, -0.99, 0.01, 1e-3])
+    hi = np.array([2, 2, 0.99, 0.99, 10.0, 1e9])
+    res_single = metacal_pipeline(
+        *args, conf, measure="exp-lm", lm_bounds=(lo, hi)
+    )
+
+    mesh = make_mesh(jax.devices()[:8])
+    fn, batch_sharding = make_sharded_pipeline_fn(
+        conf, mesh, measure="exp-lm", lm_bounds=(lo, hi)
+    )
+    sharded_args = tuple(jax.device_put(a, batch_sharding) for a in args)
+    res_sharded, calib_sharded = fn(*sharded_args)
+
+    ok = np.asarray(res_single["noshear"]["flags"]) == 0
+    ok &= np.asarray(res_sharded["noshear"]["flags"]) == 0
+    assert ok.all()
+    assert np.allclose(
+        np.asarray(res_sharded["noshear"]["pars"])[ok],
+        np.asarray(res_single["noshear"]["pars"])[ok],
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device test mesh"
+)
 def test_sharded_mb_pipeline_matches_single_device():
     """the multi-band multi-epoch pipeline shards over objects with a
     replicated band vector and matches the single-device run"""

@@ -45,7 +45,8 @@ SHEARED_JAC = (
 
 def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
                types=5, select=False, mb=False, Bsz=2048, nbatch=50,
-               seed=777, quiet=False, gint_max=0.3):
+               seed=777, quiet=False, gint_max=0.3, lm_bounds=None,
+               gal_model="exp"):
     """accumulate calibration sums over nbatch sim+measure steps and
     return a result dict (m, se_m, R11, n, rate, extras).
 
@@ -70,20 +71,25 @@ def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
     def sim(key):
         if mb:
             return B.make_sim_batch_hetero(
-                key, Bsz, jac=jac, nepoch=2, gint_max=gint_max
+                key, Bsz, jac=jac, nepoch=2, gint_max=gint_max,
+                gal_model=gal_model,
             )
         if het:
             return B.make_sim_batch_hetero(
-                key, Bsz, jac=jac, gint_max=gint_max
+                key, Bsz, jac=jac, gint_max=gint_max,
+                gal_model=gal_model,
             )
         return B.make_sim_batch(key, Bsz)
 
     def measure_step(args):
         if mb:
             return metacal_pipeline_mb(
-                *args, jnp.zeros(2, jnp.int32), 1, conf, measure=measure
+                *args, jnp.zeros(2, jnp.int32), 1, conf, measure=measure,
+                lm_bounds=lm_bounds,
             )
-        return metacal_pipeline(*args, conf, measure=measure)
+        return metacal_pipeline(
+            *args, conf, measure=measure, lm_bounds=lm_bounds
+        )
 
     def sel_fn(r):
         # a cut that BINDS on the heterogeneous population (T is drawn
@@ -223,6 +229,18 @@ SWEEP = [
     ("exp-lm het", dict(measure="exp-lm")),
     ("gauss-lm het", dict(measure="gauss-lm")),
     ("dev-lm het", dict(measure="dev-lm")),
+    # composite bulge+disk on matched bdf truth (per-stamp fracdev in
+    # [0.1, 0.9]) with production-style bounds (fracdev in [0, 1],
+    # flux in [1e-3, 1e9]). The wide flux box is the regression
+    # trigger for the f32 bounds-transform quantization the logistic
+    # transform fixed (fitting/lm.py:i2e; was 21% flagged, m=+2e-2).
+    ("bdf-lm het (bdf truth)", dict(
+        measure="bdf-lm", gal_model="bdf",
+        lm_bounds=(
+            [-2.0, -2.0, -0.99, -0.99, 1.0e-3, 0.0, 1.0e-3],
+            [2.0, 2.0, 0.99, 0.99, 20.0, 1.0, 1.0e9],
+        ),
+    )),
     ("admom het", dict(measure="admom")),
     ("gaussmom het", dict(measure="gaussmom")),
     # pre-psf measures run pad-4 FFT grids for all 5 types at once:
