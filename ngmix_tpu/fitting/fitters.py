@@ -50,6 +50,20 @@ class Fitter(object):
             self.fit_pars = dict(fit_pars)
         else:
             self.fit_pars = dict(DEFAULT_LM_PARS)
+        # "bounds" is an extension over the reference (where bounds
+        # come only from prior.bounds and an extra leastsq kwarg would
+        # raise); "epsfcn" (MINPACK finite-difference step) is accepted
+        # as a no-op since derivatives here are exact AD; anything else
+        # unknown raises rather than being silently dropped
+        unknown = set(self.fit_pars) - {
+            "maxfev", "ftol", "xtol", "bounds", "epsfcn",
+        }
+        if unknown:
+            raise ValueError(
+                "unsupported fit_pars keys %s; supported: "
+                "maxfev, ftol, xtol, bounds (epsfcn accepted, ignored)"
+                % sorted(unknown)
+            )
 
     def go(self, obs, guess):
         """run the fit; returns a FitModel dict"""
@@ -74,8 +88,18 @@ class Fitter(object):
         npars = fit_model.npars
         lo = np.full(npars, -np.inf)
         hi = np.full(npars, np.inf)
-        if fit_model.bounds is not None:
-            for i, b in enumerate(fit_model.bounds):
+        # fit_pars["bounds"] (extension) takes precedence over the
+        # reference's prior.bounds channel
+        bounds = self.fit_pars.get("bounds", None)
+        if bounds is None:
+            bounds = fit_model.bounds
+        if bounds is not None:
+            if len(bounds) != npars:
+                raise ValueError(
+                    "bounds has %d entries for %d parameters"
+                    % (len(bounds), npars)
+                )
+            for i, b in enumerate(bounds):
                 if b[0] is not None:
                     lo[i] = b[0]
                 if b[1] is not None:

@@ -163,6 +163,68 @@ def _solve_damped(JtJ, Jtr, lam):
     return chol_solve(A, -Jtr)
 
 
+# a two-sided dim counts as NEAR its bound once the logistic is this
+# saturated (|y| >= ln(1e4): within 1e-4 of the span). Proximity alone
+# does NOT pin - wide production boxes put legitimate interior values
+# here (flux ~1e2 in [1e-3, 1e9] sits at y ~ -16) - it only gates the
+# resolvability test below.
+_Y_NEAR = 9.2103404  # ln(1e4)
+
+
+def _pinned_dims(y, Jtr, cost, ftol, lo, hi):
+    """active-set mask: two-sided dims effectively ON a bound whose
+    cost gradient points further outward.
+
+    A smooth bounds transform converges badly once a parameter
+    saturates: the Gauss-Newton solve's Schur complement cancels the
+    transform gradient, so the step keeps targeting the UNCONSTRAINED
+    joint optimum; with the on-bound dim unable to actually move, the
+    free dims either creep toward the constrained optimum at O(100)
+    evaluations or (when the unconstrained joint optimum shares their
+    value) strand there while ftol fires - a wrong answer at default
+    tolerances. MINPACK's leastsqbound shares this failure. Freezing
+    the saturated dim (zero row/col in the solve) makes the free dims
+    target the CONDITIONAL optimum directly; the trace converges to
+    the true constrained solution in a handful of steps.
+
+    Pin iff, elementwise:
+    - two-sided AND the logistic is saturated toward one bound
+      (|y| >= _Y_NEAR, within 1e-4 of the span), AND
+    - the gradient points further outward (cost = r.r, gradient =
+      2 Jtr, descent = -Jtr: at the LOW side outward means Jtr > 0),
+      AND
+    - the entire remaining move to the bound cannot improve the cost
+      at the stopping resolution: the linear model bounds it by
+      2 |Jtr_int| (x-lo)/g, and (x-lo)/g = 1/(1-sigmoid(y)) <= 2 on
+      the saturated side, so |Jtr_int| <= ftol*cost suffices. This
+      keeps genuinely-active wide-box dims (flux far above a tiny
+      lower bound: |y| large but |Jtr| huge) free to move.
+
+    The mask is recomputed each iteration from the current gradient,
+    so a pinned dim whose improvement potential grows back past the
+    threshold is released automatically. Interior trajectories never
+    saturate and are unaffected.
+    """
+    both = jnp.isfinite(lo) & jnp.isfinite(hi)
+    near_lo = both & (y <= -_Y_NEAR)
+    near_hi = both & (y >= _Y_NEAR)
+    outward = (near_lo & (Jtr > 0)) | (near_hi & (Jtr < 0))
+    unresolvable = jnp.abs(Jtr) <= (ftol * cost)[..., None]
+    return outward & unresolvable
+
+
+def _mask_normal(JtJ, Jtr, pinned):
+    """zero the pinned rows/cols of the normal equations (unit diag so
+    the cholesky stays SPD); the solve then returns dy = 0 for pinned
+    dims and the conditional step for the free ones"""
+    free = (~pinned).astype(JtJ.dtype)
+    JtJ_m = JtJ * free[..., :, None] * free[..., None, :]
+    npars = Jtr.shape[-1]
+    eye = jnp.eye(npars, dtype=JtJ.dtype)
+    JtJ_m = JtJ_m + jnp.where(pinned[..., None], eye, 0.0)
+    return JtJ_m, Jtr * free
+
+
 def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
            k_space=False, n_eff=None):
     """minimize sum(resid_fn(x, data)^2) over x with box bounds.
@@ -236,7 +298,9 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
         JtJ = J.T @ J
         Jtr = J.T @ s["r"]
 
-        dy = _solve_damped(JtJ, Jtr, s["lam"])
+        pinned = _pinned_dims(s["y"], Jtr, s["cost"], conf.ftol, lo, hi)
+        JtJ_m, Jtr_m = _mask_normal(JtJ, Jtr, pinned)
+        dy = _solve_damped(JtJ_m, Jtr_m, s["lam"])
         step_ok = jnp.all(jnp.isfinite(dy))
         dy = jnp.where(step_ok, dy, 0.0)
 
@@ -508,7 +572,11 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
     def make_body(d):
         def body(s):
             active = active_of(s)
-            dy = jax.vmap(_solve_damped)(s["JtJ"], s["Jtr"], s["lam"])
+            pinned = _pinned_dims(
+                s["y"], s["Jtr"], s["cost"], conf.ftol, lo, hi
+            )
+            JtJ_m, Jtr_m = _mask_normal(s["JtJ"], s["Jtr"], pinned)
+            dy = jax.vmap(_solve_damped)(JtJ_m, Jtr_m, s["lam"])
             step_ok = jnp.all(jnp.isfinite(dy), axis=-1)
             dy = jnp.where(step_ok[:, None], dy, 0.0)
 

@@ -102,6 +102,45 @@ def test_lm_wide_bounds_f32():
     assert int(out["nfev"]) < 100
 
 
+def test_lm_on_bound_covariance():
+    """a two-sided parameter whose unconstrained optimum lies OUTSIDE
+    the box converges onto the bound with flags == 0 and a finite,
+    sane covariance. The internal-space JtJ there scales by the
+    saturated transform gradient squared (~1e-24 of the external
+    curvature) and its f32 cholesky inverse is nan; the epilogue must
+    invert the external-space JtJ instead (f32 precision, like the
+    production pipelines)."""
+    rng = np.random.RandomState(47)
+    A = jnp.asarray(rng.normal(size=(30, 2)), jnp.float32)
+    x_true = jnp.asarray([-0.4, 0.7], jnp.float32)  # x0 below the box
+    sigma = 0.05
+    y = A @ x_true + jnp.asarray(rng.normal(size=30), jnp.float32) * sigma
+
+    def resid(pars, data):
+        return (data["A"] @ pars - data["y"]) / sigma
+
+    lo = jnp.asarray([0.0, -5.0], jnp.float32)
+    hi = jnp.asarray([1.0, 5.0], jnp.float32)
+    out = run_lm(
+        resid, {"A": A, "y": y},
+        jnp.asarray([0.5, 0.0], jnp.float32), lo, hi, LMConf(),
+    )
+    assert int(out["flags"]) == 0
+    pars = np.asarray(out["pars"])
+    assert pars[0] < 1e-6  # pinned on the lower bound
+    # second parameter re-optimized given the constraint
+    x1_constrained = float(
+        np.linalg.lstsq(
+            np.asarray(A[:, 1:], np.float64),
+            np.asarray(y, np.float64),
+            rcond=None,
+        )[0][0]
+    )
+    assert abs(pars[1] - x1_constrained) < 0.05
+    err = np.asarray(out["pars_err"])
+    assert np.all(np.isfinite(err)) and np.all(err > 0) and np.all(err < 1)
+
+
 def test_fitter_gauss_psf_gauss():
     """exp-model LM fit with a psf recovers injected parameters"""
     rng = np.random.RandomState(45)
@@ -128,6 +167,38 @@ def test_fitter_gauss_psf_gauss():
     assert np.allclose(gm.get_flux(), res["pars"][5])
     im = res.make_image()
     assert im.shape == obs.image.shape
+
+
+def test_fitter_fit_pars_bounds():
+    """fit_pars["bounds"] (extension over the reference's prior-only
+    bounds channel) is honored by Fitter.go: a flux lower bound ABOVE
+    the true flux pins the fit on the bound (active-set step) with the
+    free parameters at the conditional optimum; unknown fit_pars keys
+    raise instead of being silently dropped."""
+    rng = np.random.RandomState(48)
+    data = get_model_obs(
+        rng=rng, model="gauss", T=1.2, g1=0.1, g2=-0.05, flux=100.0,
+        noise=0.1,
+    )
+    obs = data["obs"]
+    obs.psf.set_gmix(data["psf_gmix"])
+    guess = data["pars"] * rng.uniform(low=0.9, high=1.1, size=6)
+
+    bounds = [
+        (-2, 2), (-2, 2), (-0.99, 0.99), (-0.99, 0.99),
+        (0.01, 50.0), (120.0, 1.0e9),
+    ]
+    res = Fitter(model="gauss", fit_pars={"bounds": bounds}).go(obs, guess)
+    assert res["flags"] == 0
+    assert abs(res["pars"][5] - 120.0) < 5e-3  # pinned at the bound
+    assert np.allclose(res["pars"][2], 0.1, atol=0.03)  # shape still fit
+    assert np.all(np.isfinite(res["pars_err"]))
+
+    Fitter(model="gauss", fit_pars={"epsfcn": 1e-8})  # compat no-op
+    with pytest.raises(ValueError, match="unsupported fit_pars"):
+        Fitter(model="gauss", fit_pars={"factor": 100.0})
+    with pytest.raises(ValueError, match="bounds has"):
+        Fitter(model="gauss", fit_pars={"bounds": bounds[:3]}).go(obs, guess)
 
 
 @pytest.mark.parametrize("model", ["exp", "dev"])
