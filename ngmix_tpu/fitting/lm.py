@@ -838,10 +838,19 @@ def run_gn_refine_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
     y = e2i(guess, lo, hi)
     lam_v = jnp.asarray(lam, dtype)
     for _ in range(niter):
-        _, _, Jtr, JtJ = eval_normal(y)
-        dy = jax.vmap(lambda A, b: _solve_damped(A, b, lam_v))(JtJ, Jtr)
+        cost, _, Jtr, JtJ = eval_normal(y)
+        # same saturated-bound handling as the LM body: pin dims that
+        # are on a bound with an outward, unresolvable gradient (else
+        # the unconditional GN step targets the UNCONSTRAINED optimum
+        # and drags the free dims off the conditional one), and clip
+        # the internal coordinates so the logistic never underflows
+        pinned = _pinned_dims(y, Jtr, cost, conf.ftol, lo, hi)
+        JtJ_m, Jtr_m = _mask_normal(JtJ, Jtr, pinned)
+        dy = jax.vmap(lambda A, b: _solve_damped(A, b, lam_v))(
+            JtJ_m, Jtr_m
+        )
         ok = jnp.all(jnp.isfinite(dy), axis=-1)
-        y = y + jnp.where(ok[:, None], dy, 0.0)
+        y = clip_internal(y + jnp.where(ok[:, None], dy, 0.0), lo, hi)
 
     cost, cost_pix, _, JtJ = eval_normal(y)
     B = y.shape[0]

@@ -334,6 +334,44 @@ def test_sheared_refine_matches_full_lm():
     assert abs(float(s0["shear"][0]) - float(s3["shear"][0])) < 1e-7
 
 
+def test_sheared_refine_bounded_bdf_on_bound():
+    """the GN refiner shares the LM body's saturated-bound handling
+    (pin + clip): bounded bdf on pure-exp truth (every lane's fracdev
+    optimum ON the lower bound) refines cleanly and matches the full
+    stacked LM calibration"""
+    import numpy as np
+    from ngmix_tpu.batch import (
+        MetacalConfig, metacal_pipeline, shear_response,
+    )
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_batch_pipeline import _sim_batch, DIMS, PSF_DIMS, SCALE
+
+    rng = np.random.RandomState(73)
+    args = _sim_batch(rng, 16)
+    conf0 = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+    )
+    lo = np.array([-2, -2, -0.99, -0.99, 1e-3, 0.0, 1e-3])
+    hi = np.array([2, 2, 0.99, 0.99, 20.0, 1.0, 1e9])
+    r0 = metacal_pipeline(
+        *args, conf0, measure="bdf-lm", lm_bounds=(lo, hi)
+    )
+    r3 = metacal_pipeline(
+        *args, conf0._replace(sheared_refine=3), measure="bdf-lm",
+        lm_bounds=(lo, hi),
+    )
+    for t in ("noshear", "1p", "2m"):
+        assert np.all(np.asarray(r3[t]["flags"]) == 0)
+        # fracdev pinned at the bound in both paths
+        assert float(np.max(np.asarray(r3[t]["fracdev"]))) < 1e-3
+    s0, s3 = shear_response(r0), shear_response(r3)
+    assert abs(float(s0["shear"][0]) - float(s3["shear"][0])) < 1e-4
+
+
 def test_fft_matmul_mode_matches_xla_fft():
     """the DFT-matmul FFT toggle is exact: both modes agree to f32
     roundoff on centered_fft/centered_ifft round trips"""

@@ -241,6 +241,17 @@ SWEEP = [
             [2.0, 2.0, 0.99, 0.99, 20.0, 1.0, 1.0e9],
         ),
     )),
+    # on-bound stress: bounded bdf on PURE-EXP truth puts every lane's
+    # fracdev optimum exactly ON the lower bound. Requires the
+    # active-set pinning in fitting/lm.py (_pinned_dims): without it
+    # the saturated transform stranded 46% of lanes (m = -0.11).
+    ("bdf-lm het (exp truth, on-bound)", dict(
+        measure="bdf-lm",
+        lm_bounds=(
+            [-2.0, -2.0, -0.99, -0.99, 1.0e-3, 0.0, 1.0e-3],
+            [2.0, 2.0, 0.99, 0.99, 20.0, 1.0, 1.0e9],
+        ),
+    )),
     ("admom het", dict(measure="admom")),
     ("gaussmom het", dict(measure="gaussmom")),
     # pre-psf measures run pad-4 FFT grids for all 5 types at once:
