@@ -163,17 +163,9 @@ def _solve_damped(JtJ, Jtr, lam):
     return chol_solve(A, -Jtr)
 
 
-# a two-sided dim counts as NEAR its bound once the logistic is this
-# saturated (|y| >= ln(1e4): within 1e-4 of the span). Proximity alone
-# does NOT pin - wide production boxes put legitimate interior values
-# here (flux ~1e2 in [1e-3, 1e9] sits at y ~ -16) - it only gates the
-# resolvability test below.
-_Y_NEAR = 9.2103404  # ln(1e4)
-
-
 def _pinned_dims(y, Jtr, cost, ftol, lo, hi):
-    """active-set mask: two-sided dims effectively ON a bound whose
-    cost gradient points further outward.
+    """active-set mask: dims effectively ON a bound whose cost
+    gradient points further outward.
 
     A smooth bounds transform converges badly once a parameter
     saturates: the Gauss-Newton solve's Schur complement cancels the
@@ -182,35 +174,43 @@ def _pinned_dims(y, Jtr, cost, ftol, lo, hi):
     free dims either creep toward the constrained optimum at O(100)
     evaluations or (when the unconstrained joint optimum shares their
     value) strand there while ftol fires - a wrong answer at default
-    tolerances. MINPACK's leastsqbound shares this failure. Freezing
-    the saturated dim (zero row/col in the solve) makes the free dims
-    target the CONDITIONAL optimum directly; the trace converges to
-    the true constrained solution in a handful of steps.
+    tolerances. Both transform families exhibit it (the sqrt one-sided
+    forms alias y -> -y on top), and MINPACK's leastsqbound shares the
+    failure. Freezing the saturated dim (zero row/col in the solve)
+    makes the free dims target the CONDITIONAL optimum directly; the
+    traced problems then converge to the true constrained solution in
+    a handful of steps.
 
-    Pin iff, elementwise:
-    - two-sided AND the logistic is saturated toward one bound
-      (|y| >= _Y_NEAR, within 1e-4 of the span), AND
-    - the gradient points further outward (cost = r.r, gradient =
-      2 Jtr, descent = -Jtr: at the LOW side outward means Jtr > 0),
-      AND
-    - the entire remaining move to the bound cannot improve the cost
-      at the stopping resolution: the linear model bounds it by
-      2 |Jtr_int| (x-lo)/g, and (x-lo)/g = 1/(1-sigmoid(y)) <= 2 on
-      the saturated side, so |Jtr_int| <= ftol*cost suffices. This
-      keeps genuinely-active wide-box dims (flux far above a tiny
-      lower bound: |y| large but |Jtr| huge) free to move.
+    The rule is scale-free and transform-agnostic. Per dim:
+    - outward side: the external gradient grad_ext = Jtr / g pushes
+      toward lo iff Jtr*g > 0 (cost = r.r, gradient = 2 Jtr, descent
+      = -Jtr), toward hi iff Jtr*g < 0; only sides with a FINITE
+      bound qualify.
+    - available improvement: the linear model bounds the cost change
+      of moving all the way to that bound by 2 |grad_ext| d_out
+      = 2 |Jtr| d_out / |g| with d_out the external distance to the
+      bound. Pin iff that is below the ftol stopping resolution
+      (< ftol * cost): the dim can no longer matter, and letting it
+      keep steering the solve only corrupts the free dims. A wide-box
+      dim far from its optimum (flux ~1e2 above lo = 1e-3: d_out
+      tiny relative to span but |grad_ext| huge) stays free.
 
     The mask is recomputed each iteration from the current gradient,
     so a pinned dim whose improvement potential grows back past the
-    threshold is released automatically. Interior trajectories never
-    saturate and are unaffected.
+    threshold is released automatically. Interior trajectories are
+    unaffected (available improvement >> resolution until the dim is
+    either converged or on a bound).
     """
-    both = jnp.isfinite(lo) & jnp.isfinite(hi)
-    near_lo = both & (y <= -_Y_NEAR)
-    near_hi = both & (y >= _Y_NEAR)
-    outward = (near_lo & (Jtr > 0)) | (near_hi & (Jtr < 0))
-    unresolvable = jnp.abs(Jtr) <= (ftol * cost)[..., None]
-    return outward & unresolvable
+    g = i2e_grad(y, lo, hi)
+    x = i2e(y, lo, hi)
+    toward_lo = (Jtr * g > 0) & jnp.isfinite(lo)
+    toward_hi = (Jtr * g < 0) & jnp.isfinite(hi)
+    d_out = jnp.where(
+        toward_lo, x - lo, jnp.where(toward_hi, hi - x, jnp.inf)
+    )
+    g_safe = jnp.maximum(jnp.abs(g), jnp.finfo(g.dtype).tiny)
+    available = 2.0 * jnp.abs(Jtr) * d_out / g_safe
+    return (toward_lo | toward_hi) & (available < (ftol * cost)[..., None])
 
 
 def _mask_normal(JtJ, Jtr, pinned):
@@ -285,6 +285,7 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
         "accepted": jnp.asarray(True),
         "ier_small_step": jnp.asarray(False),
         "ier_small_cost": jnp.asarray(False),
+        "pinned": jnp.zeros((npars,), bool),
     }
     # carries initialized from constants must match the body's
     # varying-across-mesh types under shard_map (no-op otherwise)
@@ -299,8 +300,16 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
         Jtr = J.T @ s["r"]
 
         pinned = _pinned_dims(s["y"], Jtr, s["cost"], conf.ftol, lo, hi)
+        # a pin transition changes the solve's geometry: the escalated
+        # lambda reflects the OLD system's rejections (crushing the
+        # first conditional step to below the ftol resolution, which
+        # would end the fit at the unconstrained-stranded point), and
+        # convergence this iteration is meaningless - reset the
+        # damping and keep iterating
+        pin_changed = jnp.any(pinned != s["pinned"])
+        lam_eff = jnp.where(pin_changed, conf.lambda0, s["lam"])
         JtJ_m, Jtr_m = _mask_normal(JtJ, Jtr, pinned)
-        dy = _solve_damped(JtJ_m, Jtr_m, s["lam"])
+        dy = _solve_damped(JtJ_m, Jtr_m, lam_eff)
         step_ok = jnp.all(jnp.isfinite(dy))
         dy = jnp.where(step_ok, dy, 0.0)
 
@@ -328,12 +337,12 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
             jnp.sqrt(jnp.sum(dy * dy)) <= conf.xtol * (ynorm + conf.xtol)
         )
         # lambda exhausted without an acceptable step: local minimum
-        stuck = (~accept) & (s["lam"] >= conf.lambda_max)
+        stuck = (~accept) & (lam_eff >= conf.lambda_max)
 
         new_lam = jnp.where(
             accept,
-            jnp.maximum(s["lam"] / conf.lambda_down, conf.lambda_min),
-            jnp.minimum(s["lam"] * conf.lambda_up, conf.lambda_max * 10.0),
+            jnp.maximum(lam_eff / conf.lambda_down, conf.lambda_min),
+            jnp.minimum(lam_eff * conf.lambda_up, conf.lambda_max * 10.0),
         )
 
         y_new = jnp.where(accept, y_try, s["y"])
@@ -348,10 +357,11 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
             "J": J_new,
             "lam": new_lam,
             "nfev": s["nfev"] + 1,
-            "done": small_cost | small_step | stuck,
+            "done": (small_cost | small_step | stuck) & ~pin_changed,
             "accepted": accept,
             "ier_small_step": small_step,
             "ier_small_cost": small_cost,
+            "pinned": pinned,
         }
 
     out = jax.lax.while_loop(cond, body, state)
@@ -561,6 +571,7 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
         "done": jnp.zeros((n0,), bool),
         "ier_small_step": jnp.zeros((n0,), bool),
         "ier_small_cost": jnp.zeros((n0,), bool),
+        "pinned": jnp.zeros((n0, npars), bool),
     }
     # carries initialized from constants must match the body's
     # varying-across-mesh types under shard_map (no-op otherwise)
@@ -575,8 +586,12 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
             pinned = _pinned_dims(
                 s["y"], s["Jtr"], s["cost"], conf.ftol, lo, hi
             )
+            # pin transitions invalidate the escalated damping and any
+            # convergence verdict this iteration (see run_lm's body)
+            pin_changed = jnp.any(pinned != s["pinned"], axis=-1)
+            lam_eff = jnp.where(pin_changed, conf.lambda0, s["lam"])
             JtJ_m, Jtr_m = _mask_normal(s["JtJ"], s["Jtr"], pinned)
-            dy = jax.vmap(_solve_damped)(JtJ_m, Jtr_m, s["lam"])
+            dy = jax.vmap(_solve_damped)(JtJ_m, Jtr_m, lam_eff)
             step_ok = jnp.all(jnp.isfinite(dy), axis=-1)
             dy = jnp.where(step_ok[:, None], dy, 0.0)
 
@@ -603,13 +618,13 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
                 jnp.sqrt(jnp.sum(dy * dy, axis=-1))
                 <= conf.xtol * (ynorm + conf.xtol)
             )
-            stuck = (~accept) & (s["lam"] >= conf.lambda_max)
+            stuck = (~accept) & (lam_eff >= conf.lambda_max)
 
             new_lam = jnp.where(
                 accept,
-                jnp.maximum(s["lam"] / conf.lambda_down, conf.lambda_min),
+                jnp.maximum(lam_eff / conf.lambda_down, conf.lambda_min),
                 jnp.minimum(
-                    s["lam"] * conf.lambda_up, conf.lambda_max * 10.0
+                    lam_eff * conf.lambda_up, conf.lambda_max * 10.0
                 ),
             )
 
@@ -629,12 +644,16 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
                 "lam": jnp.where(active, new_lam, s["lam"]),
                 "nfev": s["nfev"] + active.astype(jnp.int32),
                 "done": s["done"]
-                | (active & (small_cost | small_step | stuck)),
+                | (active & (small_cost | small_step | stuck)
+                   & ~pin_changed),
                 "ier_small_step": jnp.where(
                     active, small_step, s["ier_small_step"]
                 ),
                 "ier_small_cost": jnp.where(
                     active, small_cost, s["ier_small_cost"]
+                ),
+                "pinned": jnp.where(
+                    active[:, None], pinned, s["pinned"]
                 ),
             }
 

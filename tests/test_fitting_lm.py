@@ -140,6 +140,20 @@ def test_lm_on_bound_covariance():
     err = np.asarray(out["pars_err"])
     assert np.all(np.isfinite(err)) and np.all(err > 0) and np.all(err < 1)
 
+    # one-sided form (x0 >= 0, sqrt transform): same stranding failure
+    # mode pre-fix (steps alias across y=0 and x1 froze at the
+    # unconstrained 0.677); must reach the same constrained optimum
+    lo1 = jnp.asarray([0.0, -jnp.inf], jnp.float32)
+    hi1 = jnp.asarray([jnp.inf, jnp.inf], jnp.float32)
+    out1 = run_lm(
+        resid, {"A": A, "y": y},
+        jnp.asarray([0.5, 0.0], jnp.float32), lo1, hi1, LMConf(),
+    )
+    assert int(out1["flags"]) == 0
+    pars1 = np.asarray(out1["pars"])
+    assert pars1[0] < 1e-6
+    assert abs(pars1[1] - x1_constrained) < 1e-4
+
 
 def test_fitter_gauss_psf_gauss():
     """exp-model LM fit with a psf recovers injected parameters"""
