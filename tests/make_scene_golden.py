@@ -33,7 +33,18 @@ SCALE = 0.263
 JAC = (SCALE * 1.02, SCALE * 0.01, SCALE * 0.015, SCALE * 0.98)
 PSF_DIMS = (25, 25)
 SHEAR = (0.02, 0.0)
-ESTIMATORS = ("exp-lm", "gaussmom", "admom")
+# (name, extra pipeline kwargs); bdf-lm runs with production-style
+# bounds to freeze the bounded-solver behavior (logistic transform +
+# active-set pinning) into the cross-component golden
+ESTIMATORS = (
+    ("exp-lm", {}),
+    ("gaussmom", {}),
+    ("admom", {}),
+    ("bdf-lm", {"lm_bounds": (
+        np.array([-2.0, -2.0, -0.99, -0.99, 1.0e-3, 0.0, 1.0e-3]),
+        np.array([2.0, 2.0, 0.99, 0.99, 20.0, 1.0, 1.0e9]),
+    )}),
+)
 TYPES = ("noshear", "1p", "1m", "2p", "2m")
 
 
@@ -97,8 +108,8 @@ def compute_scene_catalog():
         pad_factor=2,
     )
     out = {}
-    for est in ESTIMATORS:
-        res = metacal_pipeline_ragged(catalog, conf, measure=est)
+    for est, est_kw in ESTIMATORS:
+        res = metacal_pipeline_ragged(catalog, conf, measure=est, **est_kw)
         for t in TYPES:
             for col, val in sorted(res[t].items()):
                 arr = np.asarray(val)
