@@ -105,7 +105,12 @@ def make_sim_batch_hetero(key, B, dtype=jnp.float32,
     """
     assert B % 2 == 0, "pairing needs an even batch"
     H = B // 2
-    kT, kf, kg, kth, kp, kpt, ko, kn, knz, kfd = jax.random.split(key, 10)
+    kT, kf, kg, kth, kp, kpt, ko, kn, knz = jax.random.split(key, 9)
+    # fold_in rather than widening the split: split(key, 10) would
+    # change ALL nine pre-existing streams (threefry split output
+    # depends on the count), silently shifting every recorded
+    # fixed-seed validation number
+    kfd = jax.random.fold_in(key, 99)
 
     def pair(x):
         return jnp.concatenate([x, x], axis=0)

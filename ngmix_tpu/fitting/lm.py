@@ -5,9 +5,12 @@ TPU re-design of the reference's scipy/MINPACK path
 into Fortran lmdif/lmder with Python callbacks per iteration; here the
 whole solve is a lax.while_loop that jits and vmaps over stamps.
 
-- bounds use the same MINUIT-style internal<->external transforms as
-  leastsqbound.py:183-263 (sin/arcsin for two-sided, sqrt forms for
-  one-sided), so the parameterization of the objective matches.
+- bounds use smooth internal<->external transforms in the role of the
+  reference's MINUIT forms (leastsqbound.py:183-263): the sqrt forms
+  for one-sided bounds, but a LOGISTIC map for two-sided boxes (the
+  sin form is f32-fatal on wide spans — see the block comment below),
+  plus an active-set pin of saturated dims that both transform
+  families need to converge on-bound fits (_pinned_dims).
 - derivatives come from jax.jacfwd of the residual function - the
   exact derivative of the apodized objective (the role of the
   reference's analytic derivs_nb.py:41-127 kernel).
@@ -195,14 +198,30 @@ def _pinned_dims(y, Jtr, cost, ftol, lo, hi):
       dim far from its optimum (flux ~1e2 above lo = 1e-3: d_out
       tiny relative to span but |grad_ext| huge) stays free.
 
+    A dim must ALSO be genuinely near the bound to pin (a proximity
+    gate in the internal coordinate): early in a fit the current cost
+    is huge, so ftol*cost alone would pin interior dims whose gradient
+    is transiently small but whose curvature coupling still matters
+    (verified: a dim at the center of [-0.99, 0.99] with cost 1e5
+    pins without the gate), and the resulting mask flapping resets
+    the damping every iteration. Two-sided dims are near once the
+    logistic is saturated past 1e-4 of the span (|y| >= ln(1e4));
+    one-sided sqrt forms have a built-in external unit, so near means
+    within ~1e-4 external units (y^2/2 <= 1e-4).
+
     The mask is recomputed each iteration from the current gradient,
     so a pinned dim whose improvement potential grows back past the
     threshold is released automatically. Interior trajectories are
-    unaffected (available improvement >> resolution until the dim is
-    either converged or on a bound).
+    unaffected (never near a bound until converged against it).
     """
     g = i2e_grad(y, lo, hi)
     x = i2e(y, lo, hi)
+    both = jnp.isfinite(lo) & jnp.isfinite(hi)
+    near = jnp.where(
+        both,
+        jnp.abs(y) >= 9.2103404,      # ln(1e4): within 1e-4 of the span
+        jnp.abs(y) <= 1.4142e-2,      # sqrt(2e-4): within 1e-4 ext units
+    )
     toward_lo = (Jtr * g > 0) & jnp.isfinite(lo)
     toward_hi = (Jtr * g < 0) & jnp.isfinite(hi)
     d_out = jnp.where(
@@ -210,7 +229,11 @@ def _pinned_dims(y, Jtr, cost, ftol, lo, hi):
     )
     g_safe = jnp.maximum(jnp.abs(g), jnp.finfo(g.dtype).tiny)
     available = 2.0 * jnp.abs(Jtr) * d_out / g_safe
-    return (toward_lo | toward_hi) & (available < (ftol * cost)[..., None])
+    return (
+        near
+        & (toward_lo | toward_hi)
+        & (available < (ftol * cost)[..., None])
+    )
 
 
 def _mask_normal(JtJ, Jtr, pinned):
@@ -332,7 +355,12 @@ def run_lm(resid_fn, data, guess, lo, hi, conf: LMConf, n_prior_pars=0,
             (actual <= conf.ftol * s["cost"])
             & (pred <= conf.ftol * s["cost"])
         )
-        ynorm = jnp.sqrt(jnp.sum(s["y"] ** 2))
+        # xtol criterion over the FREE dims only: a pinned dim's
+        # saturated coordinate (|y| = ln(1e12) ~ 27.6) would inflate
+        # ynorm ~17x vs the sin transform's |y| <= pi/2 and loosen the
+        # accepted-step threshold for every other dim
+        free_f = (~pinned).astype(dy.dtype)
+        ynorm = jnp.sqrt(jnp.sum((s["y"] * free_f) ** 2))
         small_step = accept & (
             jnp.sqrt(jnp.sum(dy * dy)) <= conf.xtol * (ynorm + conf.xtol)
         )
@@ -613,7 +641,9 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
                 (actual <= conf.ftol * s["cost"])
                 & (pred <= conf.ftol * s["cost"])
             )
-            ynorm = jnp.sqrt(jnp.sum(s["y"] ** 2, axis=-1))
+            # free-dim ynorm: see run_lm's body
+            free_f = (~pinned).astype(dy.dtype)
+            ynorm = jnp.sqrt(jnp.sum((s["y"] * free_f) ** 2, axis=-1))
             small_step = accept & (
                 jnp.sqrt(jnp.sum(dy * dy, axis=-1))
                 <= conf.xtol * (ynorm + conf.xtol)

@@ -3,8 +3,9 @@
 A fixed-seed scene of 120 varied objects - mixed stamp sizes, mixed
 epoch counts, varied galaxy size/flux/intrinsic shape, per-object
 anisotropic turb psfs, a sheared (non-diagonal) WCS - runs through
-pack_ragged -> batched metacal -> three estimators, and EVERY catalog
-column is frozen. This is the cross-component drift detector the
+pack_ragged -> batched metacal -> four estimators (exp-lm, gaussmom,
+admom, and bounded bdf-lm — the last freezes the bounded-solver
+behavior), and EVERY catalog column is frozen. This is the cross-component drift detector the
 per-piece goldens can't provide, in the spirit of the reference's
 mdet_tests/test_mdet_regression.py:112-269 (fixed 120-galaxy scene,
 all columns at rtol 1e-5).

@@ -1,7 +1,8 @@
 """Frozen multi-object-scene regression: a fixed 120-object scene
 (mixed stamp sizes and epoch counts, varied galaxies, per-object
-anisotropic psfs, sheared WCS) runs ragged-pack -> metacal -> three
-estimators and every catalog column must match the frozen file at
+anisotropic psfs, sheared WCS) runs ragged-pack -> metacal -> four
+estimators (incl. bounded bdf-lm) and every catalog column must match
+the frozen file at
 rtol 1e-5 (the analog of mdet_tests/test_mdet_regression.py:233-269;
 regenerate deliberately with `python tests/make_scene_golden.py`)."""
 import os
