@@ -882,21 +882,30 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
 
     nshape = _MODEL_NSHAPE[model]
     npars = nshape + 1
-    # moments-based starting guesses (skipped when the caller supplies
-    # them, e.g. warm starts from the noshear fit); models with extra
-    # shape columns (bdf fracdev) start those at 0.5
+    # moments-based starting guesses; models with extra shape columns
+    # (bdf fracdev) start those at 0.5. Caller-supplied guesses (warm
+    # starts from the noshear fit) are used per-lane only where sane:
+    # a failed noshear fit carries the PDEF sentinel (-9.999e9) in its
+    # pars, which would otherwise seed every sheared type of that lane
+    # with garbage and guarantee failures the fresh-guess path would
+    # not have had
+    guess5, wsum = _moments_lm_guess(
+        pixels, p_irr + p_icc, guess_fwhm
+    )
+    cols = [guess5]
+    if nshape > 5:
+        extra = jnp.asarray(_MODEL_EXTRA_GUESS[model], dtype)
+        cols.append(jnp.broadcast_to(extra, (B, nshape - 5)))
+    cols.append(wsum[:, None])
+    default_guess = jnp.concatenate(cols, axis=-1)
     if guess is None:
-        guess5, wsum = _moments_lm_guess(
-            pixels, p_irr + p_icc, guess_fwhm
-        )
-        cols = [guess5]
-        if nshape > 5:
-            extra = jnp.asarray(_MODEL_EXTRA_GUESS[model], dtype)
-            cols.append(jnp.broadcast_to(extra, (B, nshape - 5)))
-        cols.append(wsum[:, None])
-        guess = jnp.concatenate(cols, axis=-1)
+        guess = default_guess
     else:
         guess = jnp.asarray(guess, dtype)
+        bad = ~jnp.all(
+            jnp.isfinite(guess) & (jnp.abs(guess) < 1.0e9), axis=-1
+        )
+        guess = jnp.where(bad[:, None], default_guess, guess)
     if bounds is None:
         lo = jnp.full(npars, -jnp.inf, dtype)
         hi = jnp.full(npars, jnp.inf, dtype)
@@ -1421,9 +1430,14 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
             )
         else:
             out["flux"] = out["pars"][:, nshape:]
-            ferr = out["pars_err"][:, nshape:]
             fsum = jnp.sum(out["flux"], axis=-1)
-            esum = jnp.sqrt(jnp.sum(ferr**2, axis=-1))
+            # error of the band SUM from the full flux block of the
+            # covariance (1^T C 1): band fluxes are correlated through
+            # the shared cen/shape/T parameters, so the quadrature sum
+            # of marginal errors understates Var(sum) and would
+            # overstate s2n
+            fcov = out["pars_cov"][:, nshape:, nshape:]
+            esum = jnp.sqrt(jnp.clip(jnp.sum(fcov, axis=(-2, -1)), 0.0))
             out["s2n"] = jnp.where(
                 esum > 0, jnp.abs(fsum) / esum, 0.0
             )

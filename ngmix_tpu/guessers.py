@@ -417,6 +417,15 @@ class GMixPSFGuesser(object):
         T, flux = self._get_T_flux(obs=obs)
         return self._make_gmix_guess(flux=flux, T=T)
 
+    def _make_guess_array(self):
+        """npars-length parameter array with jittered center and shape
+        (shared by the Simple/Coellip psf guessers, which set npars)"""
+        rng = self.rng
+        guess = np.zeros(self.npars)
+        guess[0:2] = rng.uniform(low=-0.01, high=0.01, size=2)
+        guess[2:4] = rng.uniform(low=-0.05, high=0.05, size=2)
+        return guess
+
     def _get_T_flux(self, obs):
         if self.guess_from_moms:
             return self._get_T_flux_from_moms(obs=obs)
@@ -505,13 +514,6 @@ class SimplePSFGuesser(GMixPSFGuesser):
     def __call__(self, obs):
         return self._get_guess(obs=obs)
 
-    def _make_guess_array(self):
-        rng = self.rng
-        guess = np.zeros(self.npars)
-        guess[0:2] = rng.uniform(low=-0.01, high=0.01, size=2)
-        guess[2:4] = rng.uniform(low=-0.05, high=0.05, size=2)
-        return guess
-
     def _get_guess(self, obs):
         T, flux = self._get_T_flux(obs=obs)
         guess = self._make_guess_array()
@@ -531,13 +533,6 @@ class CoellipPSFGuesser(GMixPSFGuesser):
 
     def __call__(self, obs):
         return self._get_guess(obs=obs)
-
-    def _make_guess_array(self):
-        rng = self.rng
-        guess = np.zeros(self.npars)
-        guess[0:2] = rng.uniform(low=-0.01, high=0.01, size=2)
-        guess[2:4] = rng.uniform(low=-0.05, high=0.05, size=2)
-        return guess
 
     def _get_guess(self, obs):
         T, flux = self._get_T_flux(obs=obs)

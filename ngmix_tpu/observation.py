@@ -26,6 +26,7 @@ __all__ = [
     "Observation",
     "ObsList",
     "MultiBandObsList",
+    "MetadataMixin",
     "get_mb_obs",
 ]
 
@@ -72,6 +73,11 @@ class _HasMetadata:
 
     def update_meta_data(self, meta):
         self._meta.update(self._checked_meta(meta))
+
+
+# the reference exposes this mixin as a public name
+# (ngmix/observation.py MetadataMixin); keep the compat alias
+MetadataMixin = _HasMetadata
 
 
 class _WriteableScope:

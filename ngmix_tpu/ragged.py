@@ -213,6 +213,7 @@ def metacal_pipeline_ragged(catalog, conf: MetacalConfig,
 
     merged = None
     dropped = set()
+    seen_keys = {}
     psf_sigma = [None] * ncat
     for b in buckets:
         conf_b = conf._replace(dims=b["dims"], psf_dims=b["psf_dims"])
@@ -264,6 +265,16 @@ def metacal_pipeline_ragged(catalog, conf: MetacalConfig,
         # recorded in the returned "dropped_keys" so callers can
         # detect the reduced schema
         for t, tres in res.items():
+            # track every column any bucket reports: the merged schema
+            # is seeded from the FIRST bucket, so a column that only
+            # later buckets produce must still end up in dropped_keys
+            # rather than vanishing without a trace
+            for k, v in tres.items():
+                if (
+                    hasattr(v, "shape") and v.ndim >= 1
+                    and v.shape[0] == len(b["indices"])
+                ):
+                    seen_keys.setdefault(t, set()).add(k)
             for k in list(merged[t]):
                 v = tres.get(k)
                 dst = merged[t][k]
@@ -285,6 +296,16 @@ def metacal_pipeline_ragged(catalog, conf: MetacalConfig,
                     continue
                 dst[b["indices"]] = np.asarray(v)
 
+    for t, keys in seen_keys.items():
+        for k in sorted(keys - set(merged.get(t, {}))):
+            if k not in dropped:
+                dropped.add(k)
+                logger.warning(
+                    "metacal_pipeline_ragged: result column %r was "
+                    "reported by some size buckets but not the first, "
+                    "so it is absent from the merged catalog; "
+                    "returned under 'dropped_keys'", k,
+                )
     merged["psf_sigma"] = psf_sigma
     merged["dropped_keys"] = sorted(dropped)
     return merged
