@@ -952,20 +952,43 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
             normal_fn, data, guess, lo, hi, lm_conf, nres=nres,
             compact_capacity=compact_capacity, prior_fn=prior_fn,
         )
+    _lm_result_columns(out, model, nshape)
+    return out
+
+
+def _lm_result_columns(out, model, nshape, nband=1):
+    """add the derived catalog columns (e1/e2/T/flux/s2n + composite
+    model extras) to a batched LM result dict, in place. Shared by the
+    flat and mb pipelines so the column contract cannot drift.
+
+    Single-band fluxes are scalar [B] (so mixed 1-epoch/multi-epoch
+    ragged buckets merge); multi-band keeps [B, nband] and computes
+    s2n from the band-SUM flux with its error from the full flux
+    covariance block (1^T C 1 - band fluxes are correlated through the
+    shared cen/shape/T parameters, so the quadrature sum of marginal
+    errors understates Var(sum) and would overstate s2n)."""
     out["e1"] = out["pars"][:, 2]
     out["e2"] = out["pars"][:, 3]
     out["T"] = out["pars"][:, 4]
-    out["flux"] = out["pars"][:, nshape]
-    ferr = out["pars_err"][:, nshape]
-    out["s2n"] = jnp.where(
-        ferr > 0, jnp.abs(out["flux"]) / ferr, 0.0
-    )
+    if nband == 1:
+        out["flux"] = out["pars"][:, nshape]
+        ferr = out["pars_err"][:, nshape]
+        out["s2n"] = jnp.where(
+            ferr > 0, jnp.abs(out["flux"]) / ferr, 0.0
+        )
+    else:
+        out["flux"] = out["pars"][:, nshape:]
+        fsum = jnp.sum(out["flux"], axis=-1)
+        fcov = out["pars_cov"][:, nshape:, nshape:]
+        esum = jnp.sqrt(jnp.clip(jnp.sum(fcov, axis=(-2, -1)), 0.0))
+        out["s2n"] = jnp.where(
+            esum > 0, jnp.abs(fsum) / esum, 0.0
+        )
     if model == "bdf":
         out["fracdev"] = out["pars"][:, 5]
     elif model == "bd":
         out["logTdByTe"] = out["pars"][:, 5]
         out["fracdev"] = out["pars"][:, 6]
-    return out
 
 
 def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
@@ -1416,36 +1439,7 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
             mb_normal_fn, data, guess, lo, hi, lm_conf or LMConf(),
             nres=nres, compact_capacity=caps, prior_fn=prior_fn,
         )
-        out["e1"] = out["pars"][:, 2]
-        out["e2"] = out["pars"][:, 3]
-        out["T"] = out["pars"][:, 4]
-        # single-band fluxes match the flat pipeline's [B] key so mixed
-        # 1-epoch/multi-epoch ragged buckets merge; multi-band keeps
-        # [B, nband]
-        if nband == 1:
-            out["flux"] = out["pars"][:, nshape]
-            ferr = out["pars_err"][:, nshape]
-            out["s2n"] = jnp.where(
-                ferr > 0, jnp.abs(out["flux"]) / ferr, 0.0
-            )
-        else:
-            out["flux"] = out["pars"][:, nshape:]
-            fsum = jnp.sum(out["flux"], axis=-1)
-            # error of the band SUM from the full flux block of the
-            # covariance (1^T C 1): band fluxes are correlated through
-            # the shared cen/shape/T parameters, so the quadrature sum
-            # of marginal errors understates Var(sum) and would
-            # overstate s2n
-            fcov = out["pars_cov"][:, nshape:, nshape:]
-            esum = jnp.sqrt(jnp.clip(jnp.sum(fcov, axis=(-2, -1)), 0.0))
-            out["s2n"] = jnp.where(
-                esum > 0, jnp.abs(fsum) / esum, 0.0
-            )
-        if model == "bdf":
-            out["fracdev"] = out["pars"][:, 5]
-        elif model == "bd":
-            out["logTdByTe"] = out["pars"][:, 5]
-            out["fracdev"] = out["pars"][:, 6]
+        _lm_result_columns(out, model, nshape, nband=nband)
 
     results = {}
     for i, t in enumerate(conf.types):
