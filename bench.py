@@ -86,7 +86,7 @@ def make_sim_batch(key, B, dtype=jnp.float32):
 def make_sim_batch_hetero(key, B, dtype=jnp.float32,
                           jac=(SCALE, 0.0, 0.0, SCALE),
                           shear=(SHEAR_TRUE, 0.0), nepoch=None,
-                          gint_max=0.3, gal_model="exp"):
+                          gint_max=0.3, gal_model="exp", nband=None):
     """heterogeneous sim batch: per-stamp size/flux/intrinsic shape and
     per-stamp psf shape/size variation, rendered under an arbitrary
     shared WCS (pass a non-diagonal ``jac`` for the sheared-WCS
@@ -102,6 +102,12 @@ def make_sim_batch_hetero(key, B, dtype=jnp.float32,
     per-stamp fracdev drawn from [0.1, 0.9] (paired) instead of pure
     exponentials — the matched-truth population for validating the
     bdf-lm measure away from the fracdev bounds.
+
+    nband (with nepoch): per-stamp per-band SED factors drawn from
+    [0.6, 1.4] (paired) scale each epoch's image by its band's factor,
+    with epoch->band = arange(nepoch) % nband — the multi-band
+    population for validating joint nband>=2 fits (the reference's
+    multi-band fits slice a per-band flux, fitting/results.py:1013-1047).
     """
     assert B % 2 == 0, "pairing needs an even batch"
     H = B // 2
@@ -187,7 +193,17 @@ def make_sim_batch_hetero(key, B, dtype=jnp.float32,
         # [B, E, ...]: the same objects observed E times with
         # independent noise (the multi-epoch validation shape)
         E = nepoch
-        imgs = clean[:, None] + jax.random.normal(
+        clean_e = clean[:, None]
+        if nband is not None and nband > 1:
+            # fold_in (not a wider split) for the same stream-stability
+            # reason as kfd above
+            kse = jax.random.fold_in(key, 123)
+            sed = pair(jax.random.uniform(
+                kse, (H, nband), dtype, 0.6, 1.4
+            ))  # [B, nband]
+            band = jnp.arange(E, dtype=jnp.int32) % nband
+            clean_e = clean_e * sed[:, band][:, :, None, None]
+        imgs = clean_e + jax.random.normal(
             kn, (B, E) + DIMS, dtype
         ) * NOISE
         weights = jnp.full((B, E) + DIMS, 1.0 / NOISE**2, dtype)

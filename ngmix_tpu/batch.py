@@ -952,28 +952,55 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
             normal_fn, data, guess, lo, hi, lm_conf, nres=nres,
             compact_capacity=compact_capacity, prior_fn=prior_fn,
         )
-    _lm_result_columns(out, model, nshape)
+    s2n_sums = _model_s2n_sums(
+        out["pars"], out["flags"], fill_fn, psf_gmix, pixels
+    )
+    _lm_result_columns(out, model, nshape, s2n_sums=s2n_sums)
     return out
 
 
-def _lm_result_columns(out, model, nshape, nband=1):
+def _model_s2n_sums(pars, flags, fill_fn, psf_gmix, pixels):
+    """model-weighted s/n sums at the best-fit parameters.
+
+    The reference definition (ngmix/fitting/results.py:56-67) built
+    from the per-pixel sums of ngmix/gmix/gmix_nb.py:825-874:
+    s2n_numer = sum(val*model*ivar), s2n_denom = sum(model^2*ivar).
+    Failed lanes may carry sentinel pars (PDEF) that would overflow the
+    gaussian fill, so they are evaluated at a benign round unit-T point
+    and masked to zero downstream (flags != 0 lanes report s2n = 0)."""
+    npars = pars.shape[-1]
+    benign = jnp.zeros((npars,), pars.dtype).at[4].set(1.0)
+    safe = jnp.where((flags == 0)[:, None], pars, benign)
+    gm0, _ = fill_fn(safe)
+    gm = gcore.gmix_convolve(gm0, psf_gmix)
+    _, num, den, _ = gcore.get_loglike(gm, pixels)
+    return num, den
+
+
+def _lm_result_columns(out, model, nshape, nband=1, s2n_sums=None):
     """add the derived catalog columns (e1/e2/T/flux/s2n + composite
     model extras) to a batched LM result dict, in place. Shared by the
     flat and mb pipelines so the column contract cannot drift.
 
     Single-band fluxes are scalar [B] (so mixed 1-epoch/multi-epoch
-    ragged buckets merge); multi-band keeps [B, nband] and computes
-    s2n from the band-SUM flux with its error from the full flux
-    covariance block (1^T C 1 - band fluxes are correlated through the
-    shared cen/shape/T parameters, so the quadrature sum of marginal
-    errors understates Var(sum) and would overstate s2n)."""
+    ragged buckets merge); multi-band keeps [B, nband].
+
+    s2n follows the reference definition when the call site supplies
+    the model-weighted sums (s2n_sums=(numer, denom), see
+    _model_s2n_sums): s2n = numer/sqrt(denom), zero for failed or
+    zero-signal lanes (ngmix/fitting/results.py:56-67). The flux-based
+    proxy |flux|/flux_err is always kept as s2n_flux; for nband > 1 it
+    uses the band-SUM flux with its error from the full flux covariance
+    block (1^T C 1 - band fluxes are correlated through the shared
+    cen/shape/T parameters, so the quadrature sum of marginal errors
+    understates Var(sum) and would overstate s2n)."""
     out["e1"] = out["pars"][:, 2]
     out["e2"] = out["pars"][:, 3]
     out["T"] = out["pars"][:, 4]
     if nband == 1:
         out["flux"] = out["pars"][:, nshape]
         ferr = out["pars_err"][:, nshape]
-        out["s2n"] = jnp.where(
+        s2n_flux = jnp.where(
             ferr > 0, jnp.abs(out["flux"]) / ferr, 0.0
         )
     else:
@@ -981,8 +1008,17 @@ def _lm_result_columns(out, model, nshape, nband=1):
         fsum = jnp.sum(out["flux"], axis=-1)
         fcov = out["pars_cov"][:, nshape:, nshape:]
         esum = jnp.sqrt(jnp.clip(jnp.sum(fcov, axis=(-2, -1)), 0.0))
-        out["s2n"] = jnp.where(
+        s2n_flux = jnp.where(
             esum > 0, jnp.abs(fsum) / esum, 0.0
+        )
+    out["s2n_flux"] = s2n_flux
+    if s2n_sums is None:
+        out["s2n"] = s2n_flux
+    else:
+        num, den = s2n_sums
+        ok = (out["flags"] == 0) & (den > 0)
+        out["s2n"] = jnp.where(
+            ok, num / jnp.sqrt(jnp.where(den > 0, den, 1.0)), 0.0
         )
     if model == "bdf":
         out["fracdev"] = out["pars"][:, 5]
@@ -1219,7 +1255,7 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
     contributions) and a copied valid psf stamp so the k-space engine
     stays finite; see ngmix_tpu.ragged for the packing utility.
     """
-    from .fitting.fit_model import FitData, make_fdiff_fn
+    from .fitting.fit_model import FitData, make_fdiff_fn, make_lnprob_fn
 
     is_lm = measure.endswith("-lm") and measure[:-3] in _MODEL_FILLS
     if not is_lm:
@@ -1439,7 +1475,18 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
             mb_normal_fn, data, guess, lo, hi, lm_conf or LMConf(),
             nres=nres, compact_capacity=caps, prior_fn=prior_fn,
         )
-        _lm_result_columns(out, model, nshape, nband=nband)
+        # reference-definition s2n from the model-weighted sums over
+        # ALL epochs/bands (ngmix/fitting/results.py:56-67); failed
+        # lanes are evaluated at a benign point and masked to zero
+        lnp_fn = make_lnprob_fn(model)
+        benign = jnp.zeros((npars,), dtype).at[4].set(1.0)
+        safe = jnp.where(
+            (out["flags"] == 0)[:, None], out["pars"], benign
+        )
+        _, s2n_num, s2n_den, _ = jax.vmap(lnp_fn)(safe, data)
+        _lm_result_columns(
+            out, model, nshape, nband=nband, s2n_sums=(s2n_num, s2n_den)
+        )
 
     results = {}
     for i, t in enumerate(conf.types):

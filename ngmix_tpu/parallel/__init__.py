@@ -1,3 +1,4 @@
+from . import distributed  # noqa: F401
 from .mesh import (  # noqa: F401
     make_mesh,
     make_sharded_mb_pipeline_fn,

@@ -79,19 +79,23 @@ def make_sharded_mb_pipeline_fn(conf: MetacalConfig, mesh, band, nband,
                                 axis_name="batch", **pipeline_kw):
     """multi-band multi-epoch pipeline sharded over the object axis.
 
-    band: [E] per-epoch band assignment, shared by all objects
-    (replicated across the mesh); everything else shards on axis 0 as
-    in make_sharded_pipeline_fn.
+    band: [E] per-epoch band assignment shared by all objects
+    (replicated across the mesh), or [B, E] when the epoch->band map
+    varies per object (sharded with the batch like every other
+    per-object input); everything else shards on axis 0 as in
+    make_sharded_pipeline_fn.
     """
     from ..batch import metacal_pipeline_mb
 
     batch_sharding = NamedSharding(mesh, P(axis_name))
     band = jax.numpy.asarray(band)
+    per_object_band = band.ndim == 2
 
-    def local_step(images, weights, cens, psf_images, psf_cens, noise):
+    def local_step(images, weights, cens, psf_images, psf_cens, noise,
+                   band_arg):
         results = metacal_pipeline_mb(
             images, weights, cens, psf_images, psf_cens, noise,
-            band, nband, conf, **pipeline_kw,
+            band_arg, nband, conf, **pipeline_kw,
         )
         local = shear_response_sums(results)
         total = jax.tree.map(
@@ -100,13 +104,20 @@ def make_sharded_mb_pipeline_fn(conf: MetacalConfig, mesh, band, nband,
         calib = shear_response_from_sums(total, step=conf.step)
         return results, calib
 
+    band_spec = P(axis_name) if per_object_band else P()
     smapped = _shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(axis_name),) * 6,
+        in_specs=(P(axis_name),) * 6 + (band_spec,),
         out_specs=(P(axis_name), P()),
     )
-    return jax.jit(smapped), batch_sharding
+
+    def fn(images, weights, cens, psf_images, psf_cens, noise):
+        return smapped(
+            images, weights, cens, psf_images, psf_cens, noise, band
+        )
+
+    return jax.jit(fn), batch_sharding
 
 
 def sharded_shear_response(results, mesh, step=0.01, axis_name="batch"):

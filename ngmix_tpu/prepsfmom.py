@@ -100,10 +100,16 @@ def _deconvolve(kim, kpsf, min_psf_frac=1e-5):
     return kim / kpsf_fl, kpsf_fl
 
 
-def _sky_freqs(dim, jac_tuple, dtype=None):
-    """(fv, fu) sky-frame angular frequencies and |det Atinv|"""
+def _sky_freqs(dim, jac_tuple, dtype=None, xp=jnp):
+    """(fv, fu) sky-frame angular frequencies and |det Atinv|.
+
+    xp=np evaluates eagerly in numpy: the kernels depend only on static
+    config, so the partial-mode batch path builds them at trace time to
+    select the masked k-modes as compile-time constants."""
     dvdrow, dvdcol, dudrow, dudcol = jac_tuple
-    f = 2 * jnp.pi * jnp.fft.fftfreq(dim).astype(dtype or jnp.result_type(float))
+    f = 2 * np.pi * xp.fft.fftfreq(dim).astype(
+        dtype or jnp.result_type(float)
+    )
     fy = f[:, None]
     fx = f[None, :]
     At = np.array([[dvdrow, dvdcol], [dudrow, dudcol]], dtype=float)
@@ -114,11 +120,12 @@ def _sky_freqs(dim, jac_tuple, dtype=None):
     return fv, fu, detAtinv
 
 
-def ksigma_kernels(dim, fwhm, jac_tuple, fwhm_smooth=0.0, dtype=None):
+def ksigma_kernels(dim, fwhm, jac_tuple, fwhm_smooth=0.0, dtype=None,
+                   xp=jnp):
     """Bernstein et al. ksigma k-space kernels
     (ref: prepsfmom.py:650-760). Full-grid arrays with the support mask
     folded in; returns dict fkf/fkr/fkp/fkc/msk/nrm/fk00."""
-    fv, fu, detAtinv = _sky_freqs(dim, jac_tuple, dtype)
+    fv, fu, detAtinv = _sky_freqs(dim, jac_tuple, dtype, xp=xp)
     n = 4
     sigma = float(fwhm_to_sigma(fwhm))
     kmax2 = 2 * n / sigma**2
@@ -128,7 +135,7 @@ def ksigma_kernels(dim, fwhm, jac_tuple, fwhm_smooth=0.0, dtype=None):
     msk = fmag2 < kmax2
     fm = msk.astype(fv.dtype)
 
-    karg = jnp.clip(1.0 - fmag2 / kmax2, 0.0, None)
+    karg = xp.clip(1.0 - fmag2 / kmax2, 0.0, None)
     karg2 = karg * karg
     karg3 = karg2 * karg
     karg4 = karg3 * karg
@@ -137,13 +144,13 @@ def ksigma_kernels(dim, fwhm, jac_tuple, fwhm_smooth=0.0, dtype=None):
     knrm = detAtinv / max_real_val
 
     fkf = karg4 * knrm * fm
-    nrm = jnp.sum(fkf) / dim / dim
+    nrm = xp.sum(fkf) / dim / dim
 
     two_knrm_dWdk2 = (-knrm * 8.0 / kmax2) * karg3 * fm
     four_knrm_dW2dk22 = (knrm * 48 / kmax2**2) * karg2 * fm
 
     if fwhm_smooth > 0:
-        sm = _smooth_profile(fwhm_smooth, fmag2)
+        sm = _smooth_profile(fwhm_smooth, fmag2, xp=xp)
         fkf = fkf * sm
         two_knrm_dWdk2 = two_knrm_dWdk2 * sm
         four_knrm_dW2dk22 = four_knrm_dW2dk22 * sm
@@ -156,9 +163,10 @@ def ksigma_kernels(dim, fwhm, jac_tuple, fwhm_smooth=0.0, dtype=None):
                 fk00=knrm)
 
 
-def gauss_kernels(dim, fwhm, jac_tuple, fwhm_smooth=0.0, dtype=None):
+def gauss_kernels(dim, fwhm, jac_tuple, fwhm_smooth=0.0, dtype=None,
+                  xp=jnp):
     """gaussian k-space kernels (ref: prepsfmom.py:803-900)"""
-    fv, fu, detAtinv = _sky_freqs(dim, jac_tuple, dtype)
+    fv, fu, detAtinv = _sky_freqs(dim, jac_tuple, dtype, xp=xp)
     sigma = float(fwhm_to_sigma(fwhm))
     sigma2 = sigma * sigma
     fu2 = fu * fu
@@ -168,14 +176,14 @@ def gauss_kernels(dim, fwhm, jac_tuple, fwhm_smooth=0.0, dtype=None):
     chi2_2 = exp_fac * fmag2
     msk = (chi2_2 < FASTEXP_MAX_CHI2 / 2) & (chi2_2 >= 0)
     fm = msk.astype(fv.dtype)
-    exp_val = jnp.exp(-jnp.clip(chi2_2, 0.0, FASTEXP_MAX_CHI2)) * fm
+    exp_val = xp.exp(-xp.clip(chi2_2, 0.0, FASTEXP_MAX_CHI2)) * fm
 
     knrm = detAtinv * np.pi * 2 * sigma2
     fkf = exp_val * knrm
-    nrm = jnp.sum(fkf) / dim / dim
+    nrm = xp.sum(fkf) / dim / dim
 
     if fwhm_smooth > 0:
-        fkf = fkf * _smooth_profile(fwhm_smooth, fmag2)
+        fkf = fkf * _smooth_profile(fwhm_smooth, fmag2, xp=xp)
 
     fkfac = 2 * exp_fac
     fkfac2 = 4 * exp_fac**2
@@ -187,11 +195,11 @@ def gauss_kernels(dim, fwhm, jac_tuple, fwhm_smooth=0.0, dtype=None):
                 fk00=knrm)
 
 
-def _smooth_profile(fwhm_smooth, fmag2):
+def _smooth_profile(fwhm_smooth, fmag2, xp=jnp):
     sigma_smooth = float(fwhm_to_sigma(fwhm_smooth))
     chi2_2 = sigma_smooth**2 / 2 * fmag2
     ok = (chi2_2 < FASTEXP_MAX_CHI2 / 2) & (chi2_2 >= 0)
-    return jnp.where(ok, jnp.exp(-jnp.clip(chi2_2, 0, FASTEXP_MAX_CHI2)), 0.0)
+    return xp.where(ok, xp.exp(-xp.clip(chi2_2, 0, FASTEXP_MAX_CHI2)), 0.0)
 
 
 def measure_moments_fft(kim, kpsf, pnoise_white, kernels, drow, dcol,
@@ -447,28 +455,162 @@ def turn_off_kernel_caching():
     pass
 
 
+def _partial_dft_matrix(target_dim, sel, nin, offset, sign=-1):
+    """[nin, nsel] evaluation matrix taking the ``nin`` nonzero input
+    rows of a block placed at ``offset`` in a target_dim-padded frame to
+    the selected DFT output rows ``sel``: zero padding contributes
+    nothing, so the pad buffer is never materialized (the masked-mode
+    analog of metacal.kops.dft2_zeropad)."""
+    f = np.fft.fftfreq(target_dim)[sel]
+    y = offset + np.arange(nin)
+    return np.exp(sign * 2j * np.pi * np.outer(y, f))
+
+
 def prepsfmom_batch(images, cens, psf_images, psf_cens, tot_var,
                     target_dim, kernel, jac_tuple, fwhm, ap_rad=1.5,
-                    fwhm_smooth=0.0):
-    """vmapped pre-psf moments over a [B] batch of stamps.
+                    fwhm_smooth=0.0, partial_modes=True):
+    """batched pre-psf moments over a [B] batch of stamps.
 
     images [B, H, W]; cens/psf_cens [B, 2]; tot_var [B]. Returns the
     batched moments result dict (see moments.make_mom_result).
+
+    partial_modes=True (default) never materializes the pad_factor
+    FFT grids: the measurement only consumes k-modes inside the
+    kernel's support mask (a trace-time constant), so the forward
+    transforms become partial-DFT matmuls straight from the unpadded
+    stamps to the masked row/column block, the four moment sums one
+    [B, M] x [M, 4] contraction against constant kernel planes, and
+    the 6x6 noise covariance a [B, M] x [M, 10] contraction of the
+    per-mode deconvolution power against the constant kernel products
+    (the kernels are real, so kern_i conj(kern_j) reduces to
+    fk_i fk_j / |kpsf|^2). This removes the HBM ceiling that capped
+    batch sizes (5 full pad-4 complex grids per metacal type) and
+    keeps the contractions on the MXU. Results match the FFT path to
+    f8 roundoff. ref: ngmix/prepsfmom.py:337-421 (the reference's
+    reductions are masked dot products too).
     """
     import jax
 
     from .moments import make_mom_result
 
-    def one(im, cen, pim, pcen, tv):
-        return prepsfmom_core(
-            im, cen, pim, pcen, tv, jnp.zeros_like(im),
-            int(target_dim), float(ap_rad), kernel, jac_tuple,
-            float(fwhm), float(fwhm_smooth), True, False,
-        )
+    if not partial_modes:
+        def one(im, cen, pim, pcen, tv):
+            return prepsfmom_core(
+                im, cen, pim, pcen, tv, jnp.zeros_like(im),
+                int(target_dim), float(ap_rad), kernel, jac_tuple,
+                float(fwhm), float(fwhm_smooth), True, False,
+            )
 
-    mom, cov, norm, nrm = jax.vmap(one)(
-        images, cens, psf_images, psf_cens, tot_var
+        mom, cov, norm, nrm = jax.vmap(one)(
+            images, cens, psf_images, psf_cens, tot_var
+        )
+        res = make_mom_result(mom, cov, sums_norm=norm)
+        res["kernel_nrm"] = nrm
+        return res
+
+    N = int(target_dim)
+    B, H, W = images.shape
+    Hp, Wp = psf_images.shape[-2:]
+    dtype = images.dtype
+    cdtype = jnp.result_type(dtype, np.complex64)
+    hi = jax.lax.Precision.HIGHEST
+
+    # ---- trace-time constants (static config only) -------------------
+    build = ksigma_kernels if kernel == "ksigma" else gauss_kernels
+    kern = build(N, fwhm, jac_tuple, fwhm_smooth, dtype=np.float64, xp=np)
+    msk = np.asarray(kern["msk"])
+    rows = np.flatnonzero(msk.any(axis=1))
+    cols = np.flatnonzero(msk.any(axis=0))
+    fm = msk[np.ix_(rows, cols)].astype(np.float64)
+    fk = [np.asarray(kern[k])[np.ix_(rows, cols)] * fm
+          for k in ("fkp", "fkc", "fkr", "fkf")]
+    M = rows.size * cols.size
+    # moment-sum planes [M, 4] and covariance products [M, 10]
+    kmat = jnp.asarray(np.stack([f.reshape(-1) for f in fk], axis=-1),
+                       dtype)
+    pairs = [(i, j) for i in range(4) for j in range(i, 4)]
+    cmat = jnp.asarray(
+        np.stack([(fk[i] * fk[j]).reshape(-1) for i, j in pairs], axis=-1),
+        dtype,
     )
-    res = make_mom_result(mom, cov, sums_norm=norm)
-    res["kernel_nrm"] = nrm
+    # DC mode position inside the selection (row/col 0 are always in
+    # the mask: the kernels have positive support at k=0)
+    i0r = int(np.flatnonzero(rows == 0)[0])
+    i0c = int(np.flatnonzero(cols == 0)[0])
+
+    off_g = _zero_pad_offsets(H, N)
+    off_p = _zero_pad_offsets(Hp, N)
+    Fr_g = jnp.asarray(_partial_dft_matrix(N, rows, H, off_g), cdtype)
+    Fc_g = jnp.asarray(_partial_dft_matrix(N, cols, W, off_g), cdtype)
+    Fr_p = jnp.asarray(_partial_dft_matrix(N, rows, Hp, off_p), cdtype)
+    Fc_p = jnp.asarray(_partial_dft_matrix(N, cols, Wp, off_p), cdtype)
+    fsel_r = jnp.asarray(2 * np.pi * np.fft.fftfreq(N)[rows], dtype)
+    fsel_c = jnp.asarray(2 * np.pi * np.fft.fftfreq(N)[cols], dtype)
+    apod = (apodization_mask((H, W), ap_rad).astype(dtype)
+            if ap_rad > 0 else None)
+
+    # ---- device program ----------------------------------------------
+    im_ap = images * apod if apod is not None else images
+    kim = jnp.einsum("bhw,hr->brw", im_ap.astype(cdtype), Fr_g,
+                     precision=hi)
+    kim = jnp.einsum("brw,wc->brc", kim, Fc_g, precision=hi)
+    kpsf = jnp.einsum("bhw,hr->brw", psf_images.astype(cdtype), Fr_p,
+                      precision=hi)
+    kpsf = jnp.einsum("brw,wc->brc", kpsf, Fc_p, precision=hi)
+
+    kim_d, kpsf_fl = _deconvolve_at(kim, kpsf, i0r, i0c)
+
+    # separable center phase about the (padded) galaxy-psf centroid
+    # offset (ref: prepsfmom.py:482-507); the pad offsets cancel in
+    # the difference except for the stamp-size mismatch
+    drow = (cens[:, 0] + off_g) - (psf_cens[:, 0] + off_p)
+    dcol = (cens[:, 1] + off_g) - (psf_cens[:, 1] + off_p)
+    ph_r = jnp.exp(1j * fsel_r[None, :] * drow[:, None])
+    ph_c = jnp.exp(1j * fsel_c[None, :] * dcol[:, None])
+    kim_d = kim_d * ph_r[:, :, None] * ph_c[:, None, :]
+
+    df2 = 1.0 / (N * N)
+    # the kernel planes are real: only the real part of the
+    # deconvolved modes enters the sums
+    mom4 = jnp.einsum(
+        "bm,mk->bk", kim_d.real.reshape(B, M), kmat, precision=hi
+    ) * df2
+
+    eff_pad = N / H
+    pnoise = tot_var * eff_pad**2  # [B] white per-mode power
+    w = (1.0 / jnp.abs(kpsf_fl) ** 2).reshape(B, M)
+    cvals = jnp.einsum("bm,mk->bk", w, cmat, precision=hi) * (
+        pnoise[:, None] * df2 * df2
+    )
+    cov = jnp.zeros((B, 6, 6), dtype)
+    cov = cov.at[:, 0, 0].set(1.0).at[:, 1, 1].set(1.0)
+    for k, (i, j) in enumerate(pairs):
+        cov = cov.at[:, 2 + i, 2 + j].set(cvals[:, k])
+        if i != j:
+            cov = cov.at[:, 2 + j, 2 + i].set(cvals[:, k])
+
+    nan = jnp.full((B,), jnp.nan, dtype)
+    mom = jnp.stack(
+        [nan, nan, mom4[:, 0], mom4[:, 1], mom4[:, 2], mom4[:, 3]],
+        axis=-1,
+    )
+    res = make_mom_result(mom, cov, sums_norm=jnp.full((B,), kern["fk00"],
+                                                       dtype))
+    res["kernel_nrm"] = jnp.full((B,), float(kern["nrm"]), dtype)
     return res
+
+
+def _deconvolve_at(kim, kpsf, i0r, i0c, min_psf_frac=1e-5):
+    """_deconvolve with the DC reference amplitude taken at the given
+    selected-mode indices (the masked-mode layout need not have the DC
+    mode at [0, 0])"""
+    max_amp = jnp.abs(kpsf[..., i0r, i0c])[..., None, None]
+    min_amp = min_psf_frac * max_amp
+    amp = jnp.abs(kpsf)
+    kpsf_fl = jnp.where(
+        (amp <= min_amp) & (amp != 0),
+        kpsf / jnp.where(amp == 0, 1.0, amp) * min_amp,
+        kpsf,
+    )
+    kpsf_fl = jnp.where(amp == 0, min_amp + 0j, kpsf_fl)
+    return kim / kpsf_fl, kpsf_fl

@@ -9,6 +9,11 @@ Each prior additionally provides jnp-traced ``*_device`` variants used
 by the device fit objective: these never raise, returning -inf (or a
 large fdiff) out of range, which the LM path converts to rejected
 steps.
+
+All rejection sampling goes through :func:`draw_until`, a shared
+vectorized accumulator that over-draws by the observed acceptance rate
+(the reference re-draws exactly the deficit each round, which costs
+O(1/rate) rounds for narrow acceptance windows).
 """
 import jax.numpy as jnp
 import numpy as np
@@ -16,6 +21,35 @@ import numpy as np
 from ..defaults import LOWVAL
 from ..gexceptions import GMixRangeError
 from .random import make_rng
+
+
+def draw_until(n, propose):
+    """accumulate accepted draws until at least ``n`` exist.
+
+    ``propose(k)`` makes ``k`` proposals and returns only the ACCEPTED
+    ones (an array whose leading axis is the accepted count, possibly
+    zero). Each round asks for the remaining deficit scaled by the
+    running acceptance rate (floored so a pathological first round
+    cannot stall), so even narrow acceptance windows finish in a
+    handful of rounds. Returns exactly ``n`` values (leading axis).
+    """
+    kept = []
+    have = 0
+    asked = 0
+    ask = int(n)
+    while have < n:
+        got = np.asarray(propose(ask))
+        kept.append(got)
+        have += got.shape[0]
+        asked += ask
+        rate = max(have / asked, 1.0 / 64.0)
+        ask = int(np.ceil((n - have) / rate)) + 1
+    return np.concatenate(kept, axis=0)[:n]
+
+
+def _one_or_many(vals, nrand):
+    """the reference's scalar convention: nrand=None -> bare scalar"""
+    return vals[0] if nrand is None else vals
 
 
 class PriorBase(object):
@@ -77,12 +111,11 @@ class FlatPrior(PriorBase):
         )
 
     def sample(self, nrand=None):
-        is_scalar = nrand is None
-        n = 1 if is_scalar else nrand
-        rvals = self.minval + (self.maxval - self.minval) * self.rng.uniform(
-            size=n
+        n = 1 if nrand is None else nrand
+        span = self.maxval - self.minval
+        return _one_or_many(
+            self.minval + span * self.rng.uniform(size=n), nrand
         )
-        return rvals[0] if is_scalar else rvals
 
 
 class TwoSidedErf(PriorBase):
@@ -96,38 +129,34 @@ class TwoSidedErf(PriorBase):
         self.maxval = maxval
         self.width_at_max = width_at_max
 
-    def get_prob_scalar(self, val):
-        from math import erf
+    def _smooth_box(self, x):
+        """the two half-erf rolloffs, vectorized"""
+        from scipy.special import erf
 
-        p1 = 0.5 * erf((self.maxval - val) / self.width_at_max)
-        p2 = 0.5 * erf((val - self.minval) / self.width_at_min)
-        return p1 + p2
+        rise = erf((x - self.minval) / self.width_at_min)
+        fall = erf((self.maxval - x) / self.width_at_max)
+        return 0.5 * (rise + fall)
+
+    def get_prob_scalar(self, val):
+        return float(self._smooth_box(np.float64(val)))
 
     def get_lnprob_scalar(self, val):
         p = self.get_prob_scalar(val)
         return np.log(p) if p > 0.0 else LOWVAL
 
     def get_prob_array(self, vals):
-        from scipy.special import erf
-
-        vals = np.array(vals, ndmin=1, dtype="f8")
-        return 0.5 * erf((self.maxval - vals) / self.width_at_max) + 0.5 * erf(
-            (vals - self.minval) / self.width_at_min
-        )
+        return self._smooth_box(np.array(vals, ndmin=1, dtype="f8"))
 
     def get_lnprob_array(self, vals):
         p = self.get_prob_array(vals)
-        lnp = np.zeros(p.size) + LOWVAL
-        w = p > 0.0
-        lnp[w] = np.log(p[w])
-        return lnp
+        return np.where(p > 0.0, np.log(np.where(p > 0.0, p, 1.0)), LOWVAL)
 
     def get_lnprob_device(self, val):
         from jax.scipy.special import erf
 
-        p = 0.5 * erf((self.maxval - val) / self.width_at_max) + 0.5 * erf(
-            (val - self.minval) / self.width_at_min
-        )
+        rise = erf((val - self.minval) / self.width_at_min)
+        fall = erf((self.maxval - val) / self.width_at_max)
+        p = 0.5 * (rise + fall)
         return jnp.where(p > 0.0, jnp.log(jnp.where(p > 0, p, 1.0)), LOWVAL)
 
     def get_fdiff(self, val):
@@ -135,8 +164,7 @@ class TwoSidedErf(PriorBase):
             lnp = self.get_lnprob_array(val)
         else:
             lnp = self.get_lnprob_scalar(val)
-        chi2 = np.clip(-2 * lnp, 0.0, None)
-        return np.sqrt(chi2)
+        return np.sqrt(np.clip(-2 * lnp, 0.0, None))
 
     def get_fdiff_device(self, val):
         chi2 = jnp.clip(-2 * self.get_lnprob_device(val), 0.0, None)
@@ -144,22 +172,16 @@ class TwoSidedErf(PriorBase):
         return jnp.where(pos, jnp.sqrt(jnp.where(pos, chi2, 1.0)), 0.0)
 
     def sample(self, nrand=None):
-        is_scalar = nrand is None
-        n = 1 if is_scalar else nrand
-        xmin = self.minval - 5.0 * self.width_at_min
-        xmax = self.maxval + 5.0 * self.width_at_max
-        rvals = np.zeros(n)
-        ngood, nleft = 0, n
-        while ngood < n:
-            randx = self.rng.uniform(low=xmin, high=xmax, size=nleft)
-            pvals = self.get_prob_array(randx)
-            randy = self.rng.uniform(size=nleft)
-            (w,) = np.where(randy < pvals)
-            if w.size > 0:
-                rvals[ngood:ngood + w.size] = randx[w]
-                ngood += w.size
-                nleft -= w.size
-        return rvals[0] if is_scalar else rvals
+        lo = self.minval - 5.0 * self.width_at_min
+        hi = self.maxval + 5.0 * self.width_at_max
+
+        def propose(k):
+            x = self.rng.uniform(low=lo, high=hi, size=k)
+            return x[self.rng.uniform(size=k) < self._smooth_box(x)]
+
+        return _one_or_many(
+            draw_until(1 if nrand is None else nrand, propose), nrand
+        )
 
 
 class Normal(PriorBase):
@@ -169,13 +191,14 @@ class Normal(PriorBase):
         super().__init__(rng=rng, bounds=bounds)
         self.mean = mean
         self.sigma = sigma
-        self.sinv = 1.0 / sigma
-        self.s2inv = 1.0 / sigma**2
         self.ndim = 1
 
+    def _zscore(self, val):
+        return (val - self.mean) / self.sigma
+
     def get_lnprob(self, val):
-        diff = self.mean - val
-        return -0.5 * diff * diff * self.s2inv
+        z = self._zscore(val)
+        return -0.5 * z * z
 
     get_lnprob_scalar = get_lnprob
     get_lnprob_array = get_lnprob
@@ -188,7 +211,7 @@ class Normal(PriorBase):
     get_prob_scalar = get_prob
 
     def get_fdiff(self, val):
-        return (val - self.mean) * self.sinv
+        return self._zscore(val)
 
     get_fdiff_device = get_fdiff
 
@@ -233,36 +256,27 @@ class Bounded1D(PriorBase):
         self.set_limits(bounds)
 
     def set_limits(self, limits):
-        ok = False
         try:
-            n = len(limits)
-            if n == 2:
-                ok = True
-        except TypeError:
-            pass
-        if not ok:
+            lo, hi = limits
+        except (TypeError, ValueError):
             raise ValueError("expected bounds to be 2-element sequence")
-        if limits[0] >= limits[1]:
+        if lo >= hi:
             raise ValueError("bounds[0] must be less than bounds[1]")
         self.limits = limits
         self.bounds = limits
 
     def sample(self, nrand=None, size=None):
-        if size is None and nrand is not None:
+        if size is None:
             size = nrand
-        bounds = self.bounds
-        is_scalar = size is None
-        nval = 1 if is_scalar else size
-        values = np.zeros(nval)
-        ngood, nleft = 0, nval
-        while ngood < nval:
-            tmp = self.pdf.sample(nleft)
-            (w,) = np.where((tmp > bounds[0]) & (tmp < bounds[1]))
-            if w.size > 0:
-                values[ngood:ngood + w.size] = tmp[w]
-                ngood += w.size
-                nleft -= w.size
-        return values[0] if is_scalar else values
+        lo, hi = self.bounds
+
+        def propose(k):
+            cand = np.atleast_1d(self.pdf.sample(k))
+            return cand[(cand > lo) & (cand < hi)]
+
+        return _one_or_many(
+            draw_until(1 if size is None else size, propose), size
+        )
 
 
 LimitPDF = Bounded1D
@@ -279,25 +293,30 @@ class LogNormal(PriorBase):
         self.mean = mean
         self.sigma = sigma
 
-        self.logmean = np.log(mean) - 0.5 * np.log(1 + sigma**2 / mean**2)
-        self.logvar = np.log(1 + sigma**2 / mean**2)
+        # moment matching: the underlying normal in t = log(x)
+        self.logvar = np.log1p((sigma / mean) ** 2)
+        self.logmean = np.log(mean) - 0.5 * self.logvar
         self.logsigma = np.sqrt(self.logvar)
         self.logivar = 1.0 / self.logvar
 
-        log_mode = self.logmean - self.logvar
-        self.mode = np.exp(log_mode)
-        chi2 = self.logivar * (log_mode - self.logmean) ** 2
-        self.lnprob_max = -0.5 * chi2 - log_mode
-        self.log_mode = log_mode
+        self.log_mode = self.logmean - self.logvar
+        self.mode = np.exp(self.log_mode)
+        # peak of the unnormalized density -0.5*(t-logmean)^2/logvar - t
+        # sits at t = log_mode where the quadratic term is exactly
+        # -logvar/2, giving the closed form below
+        self.lnprob_max = 0.5 * self.logvar - self.logmean
+
+    def _lnprob_of_log(self, t):
+        """lnprob as a function of t = log(val - shift), peak 0"""
+        z2 = self.logivar * (t - self.logmean) ** 2
+        return -0.5 * z2 - t - self.lnprob_max
 
     def get_lnprob_scalar(self, val):
         if self.shift is not None:
             val = val - self.shift
         if val <= 0:
             raise GMixRangeError("values of LogNormal must be > 0")
-        logval = np.log(val)
-        chi2 = self.logivar * (logval - self.logmean) ** 2
-        return -0.5 * chi2 - logval - self.lnprob_max
+        return self._lnprob_of_log(np.log(val))
 
     def get_lnprob_array(self, vals):
         vals = np.array(vals, dtype="f8")
@@ -305,17 +324,15 @@ class LogNormal(PriorBase):
             vals = vals - self.shift
         if np.any(vals <= 0):
             raise GMixRangeError("values of LogNormal must be > 0")
-        logvals = np.log(vals)
-        chi2 = self.logivar * (logvals - self.logmean) ** 2
-        return -0.5 * chi2 - logvals - self.lnprob_max
+        return self._lnprob_of_log(np.log(vals))
 
     def get_lnprob_device(self, val):
         if self.shift is not None:
             val = val - self.shift
         ok = val > 0
-        logval = jnp.log(jnp.where(ok, val, 1.0))
-        chi2 = self.logivar * (logval - self.logmean) ** 2
-        return jnp.where(ok, -0.5 * chi2 - logval - self.lnprob_max, LOWVAL)
+        t = jnp.log(jnp.where(ok, val, 1.0))
+        lnp = -0.5 * self.logivar * (t - self.logmean) ** 2 - t
+        return jnp.where(ok, lnp - self.lnprob_max, LOWVAL)
 
     def get_prob_scalar(self, val):
         return np.exp(self.get_lnprob_scalar(val))
@@ -325,8 +342,7 @@ class LogNormal(PriorBase):
 
     def get_fdiff(self, val):
         lnp = self.get_lnprob_scalar(val)
-        chi2 = max(-2 * lnp, 0.0)
-        return np.sqrt(chi2)
+        return np.sqrt(max(-2 * lnp, 0.0))
 
     def get_fdiff_device(self, val):
         chi2 = jnp.clip(-2 * self.get_lnprob_device(val), 0.0, None)
@@ -341,24 +357,54 @@ class LogNormal(PriorBase):
         return r
 
     def sample_brute(self, nrand=None, maxval=None):
+        """rejection sampling against a uniform ceiling; a cross-check
+        of sample() (ref: priors.py:865-920)"""
         if maxval is None:
             maxval = self.mean + 10 * self.sigma
-        is_scalar = nrand is None
-        n = 1 if is_scalar else nrand
-        samples = np.zeros(n)
-        ngood, nleft = 0, n
-        while ngood < n:
-            rvals = maxval * self.rng.uniform(size=nleft)
-            if self.shift is not None:
-                rvals += self.shift
-            h = self.rng.uniform(size=nleft)
-            pvals = self.get_prob_array(np.clip(rvals, 1e-300, None))
-            (w,) = np.where(h < pvals)
-            if w.size > 0:
-                samples[ngood:ngood + w.size] = rvals[w]
-                ngood += w.size
-                nleft -= w.size
-        return samples[0] if is_scalar else samples
+        shift = 0.0 if self.shift is None else self.shift
+
+        def propose(k):
+            cand = maxval * self.rng.uniform(size=k) + shift
+            p = np.exp(self._lnprob_of_log(np.log(np.clip(
+                cand - shift, 1e-300, None
+            ))))
+            return cand[self.rng.uniform(size=k) < p]
+
+        return _one_or_many(
+            draw_until(1 if nrand is None else nrand, propose), nrand
+        )
+
+    def fit(self, x, y):
+        """fit (mean, sigma, amplitude) of this family to measured
+        (x, p(x)) data - an offline training utility
+        (ref: priors.py:922-972). Returns the result dict; retries a
+        few jittered moment-based guesses on failure."""
+        from scipy.optimize import least_squares
+
+        x = np.asarray(x, dtype="f8")
+        y = np.asarray(y, dtype="f8")
+
+        def resid(pars):
+            m, s, amp = pars
+            if m <= 0 or s <= 0:
+                return np.full(y.size, 1.0e9)
+            model = LogNormal(m, s, rng=self.rng)
+            return amp * model.get_prob_array(np.clip(x, 1e-300, None)) - y
+
+        base = np.array([x.mean(), x.std(), y.mean()])
+        res = None
+        for _ in range(4):
+            jitter = 1.0 + self.rng.uniform(low=-0.1, high=0.1, size=3)
+            fit = least_squares(resid, base * jitter, max_nfev=4000)
+            res = {
+                "flags": 0 if fit.success else 1,
+                "pars": fit.x,
+                "nfev": fit.nfev,
+                "cost": fit.cost,
+            }
+            if res["flags"] == 0:
+                break
+        return res
 
 
 class Sinh(PriorBase):
@@ -386,12 +432,11 @@ class Sinh(PriorBase):
         return -0.5 * f * f
 
     def sample(self, nrand=None):
-        is_scalar = nrand is None
-        n = 1 if is_scalar else nrand
+        n = 1 if nrand is None else nrand
         vals = self.rng.uniform(
             low=self.mean - self.scale, high=self.mean + self.scale, size=n
         )
-        return vals[0] if is_scalar else vals
+        return _one_or_many(vals, nrand)
 
 
 class TruncatedGaussian(PriorBase):
@@ -406,25 +451,24 @@ class TruncatedGaussian(PriorBase):
         self.minval = minval
         self.maxval = maxval
 
+    def _inside(self, val):
+        return (val > self.minval) & (val < self.maxval)
+
     def get_lnprob_scalar(self, val):
         if val < self.minval or val > self.maxval:
             raise GMixRangeError("value out of range")
-        diff = val - self.mean
-        return -0.5 * diff * diff * self.ivar
+        z = (val - self.mean) * self.sinv
+        return -0.5 * z * z
 
     def get_lnprob_array(self, val):
-        lnp = np.zeros(np.size(val)) - np.inf
         val = np.asarray(val)
-        w = (val > self.minval) & (val < self.maxval)
-        diff = val[w] - self.mean
-        lnp[w] = -0.5 * diff * diff * self.ivar
-        return lnp
+        z = (val - self.mean) * self.sinv
+        return np.where(self._inside(val), -0.5 * z * z, -np.inf)
 
     def get_lnprob_device(self, val):
-        diff = val - self.mean
-        lnp = -0.5 * diff * diff * self.ivar
+        z = (val - self.mean) * self.sinv
         return jnp.where(
-            (val < self.minval) | (val > self.maxval), LOWVAL, lnp
+            (val < self.minval) | (val > self.maxval), LOWVAL, -0.5 * z * z
         )
 
     def get_fdiff(self, val):
@@ -439,15 +483,10 @@ class TruncatedGaussian(PriorBase):
         )
 
     def sample(self, nrand=None):
-        is_scalar = nrand is None
-        n = 1 if is_scalar else nrand
-        vals = np.zeros(n)
-        ngood, nleft = 0, n
-        while ngood < n:
-            tvals = self.rng.normal(loc=self.mean, scale=self.sigma, size=nleft)
-            (w,) = np.where((tvals > self.minval) & (tvals < self.maxval))
-            if w.size > 0:
-                vals[ngood:ngood + w.size] = tvals[w]
-                ngood += w.size
-                nleft -= w.size
-        return vals[0] if is_scalar else vals
+        def propose(k):
+            cand = self.rng.normal(loc=self.mean, scale=self.sigma, size=k)
+            return cand[self._inside(cand)]
+
+        return _one_or_many(
+            draw_until(1 if nrand is None else nrand, propose), nrand
+        )

@@ -10,7 +10,7 @@ import numpy as np
 
 from ..defaults import LOWVAL
 from ..gexceptions import GMixRangeError
-from .priors import PriorBase
+from .priors import PriorBase, draw_until
 
 
 class GPriorBase(PriorBase):
@@ -76,53 +76,110 @@ class GPriorBase(PriorBase):
 
     def sample2d(self, nrand=None, maxguess=0.1):
         """rejection sample (g1, g2) from the 2d prob"""
-        is_scalar = nrand is None
-        n = 1 if is_scalar else nrand
         gmax = self.gmax - 1.0e-4
-        # find pmax over a grid of |g|
+        # ceiling over a grid of |g|
         gg = np.linspace(0, gmax, 1000)
         pmax = np.max(
             [self.get_prob_scalar2d(g, 0.0) for g in gg]
         ) * 1.05
 
-        g1 = np.zeros(n)
-        g2 = np.zeros(n)
-        ngood, nleft = 0, n
-        while ngood < n:
-            g1r = self.rng.uniform(low=-gmax, high=gmax, size=nleft)
-            g2r = self.rng.uniform(low=-gmax, high=gmax, size=nleft)
-            gr = np.hypot(g1r, g2r)
-            h = self.rng.uniform(size=nleft) * pmax
-            p = self.get_prob_array2d(g1r, g2r)
-            (w,) = np.where((gr < gmax) & (h < p))
-            if w.size > 0:
-                g1[ngood:ngood + w.size] = g1r[w]
-                g2[ngood:ngood + w.size] = g2r[w]
-                ngood += w.size
-                nleft -= w.size
-        if is_scalar:
-            return g1[0], g2[0]
-        return g1, g2
+        def propose(k):
+            cand = self.rng.uniform(low=-gmax, high=gmax, size=(k, 2))
+            inside = np.hypot(cand[:, 0], cand[:, 1]) < gmax
+            h = pmax * self.rng.uniform(size=k)
+            p = self.get_prob_array2d(cand[:, 0], cand[:, 1])
+            return cand[inside & (h < p)]
+
+        pairs = draw_until(1 if nrand is None else nrand, propose)
+        if nrand is None:
+            return pairs[0, 0], pairs[0, 1]
+        return pairs[:, 0], pairs[:, 1]
+
+    def sample2d_brute(self, nrand):
+        """rejection sample (g1, g2) against the central-density
+        ceiling - a cross-check of sample2d (ref: shape.py:250-291)"""
+        ceiling = self.get_prob_scalar2d(0.0, 0.0)
+
+        def propose(k):
+            cand = self.rng.uniform(low=-1.0, high=1.0, size=(k, 2))
+            h = ceiling * self.rng.uniform(size=k)
+            p = self.get_prob_array2d(cand[:, 0], cand[:, 1])
+            return cand[h < p]
+
+        pairs = draw_until(nrand, propose)
+        return pairs[:, 0], pairs[:, 1]
 
     def sample1d(self, nrand=None, maxguess=0.1):
         """rejection sample |g| from the 1d prob"""
-        is_scalar = nrand is None
-        n = 1 if is_scalar else nrand
         gmax = self.gmax - 1.0e-4
         gg = np.linspace(1e-6, gmax, 1000)
         pmax = np.max(self.get_prob_array1d(gg)) * 1.05
-        g = np.zeros(n)
-        ngood, nleft = 0, n
-        while ngood < n:
-            gr = self.rng.uniform(low=0.0, high=gmax, size=nleft)
-            h = self.rng.uniform(size=nleft) * pmax
-            p = self.get_prob_array1d(gr)
-            (w,) = np.where(h < p)
-            if w.size > 0:
-                g[ngood:ngood + w.size] = gr[w]
-                ngood += w.size
-                nleft -= w.size
-        return g[0] if is_scalar else g
+
+        def propose(k):
+            cand = self.rng.uniform(low=0.0, high=gmax, size=k)
+            h = pmax * self.rng.uniform(size=k)
+            return cand[h < self.get_prob_array1d(cand)]
+
+        g = draw_until(1 if nrand is None else nrand, propose)
+        return g[0] if nrand is None else g
+
+    def set_maxval1d(self, maxguess=0.1):
+        """locate the max of the 1d |g| density (ref: shape.py:293-316)"""
+        from scipy.optimize import minimize_scalar
+
+        res = minimize_scalar(
+            lambda g: -self.get_prob_scalar1d(g),
+            bounds=(1e-6, self.gmax - 1e-4),
+            method="bounded",
+        )
+        if not res.success:
+            raise RuntimeError("failed to find 1d max: %s" % res.message)
+        self.maxval1d = -res.fun
+        self.maxval1d_loc = res.x
+
+    def fit(self, xdata, ydata, guess=None):
+        """fit this family's parameters to a measured 1d profile.
+
+        Offline training utility (ref: ngmix/priors/shape.py:318-363):
+        least squares of get_prob_array1d against (x, p(x)) data with
+        poisson-like weights 1/sqrt(p); subclasses supply set_pars and,
+        for guess=None, _get_guess. Stores fit_pars / fit_pars_cov /
+        fit_perr and returns the result dict (the reference prints)."""
+        from scipy.optimize import least_squares
+
+        x = np.asarray(xdata, dtype="f8")
+        y = np.asarray(ydata, dtype="f8")
+        keep = y > 0
+        x, y = x[keep], y[keep]
+        ierr = 1.0 / np.sqrt(y)
+        self.xdata, self.ydata, self.ierr = x, y, ierr
+
+        if guess is None:
+            guess = self._get_guess(y.sum())
+
+        def resid(pars):
+            self.set_pars(pars)
+            return (self.get_prob_array1d(x) - y) * ierr
+
+        fit = least_squares(resid, np.asarray(guess, "f8"), max_nfev=4000)
+        # chi2/dof-scaled covariance from the jacobian at the optimum
+        dof = max(y.size - fit.x.size, 1)
+        jtj = fit.jac.T @ fit.jac
+        try:
+            cov = np.linalg.inv(jtj) * (2 * fit.cost / dof)
+        except np.linalg.LinAlgError:
+            cov = np.full((fit.x.size, fit.x.size), np.inf)
+        self.set_pars(fit.x)
+        self.fit_pars = fit.x
+        self.fit_pars_cov = cov
+        self.fit_perr = np.sqrt(np.abs(np.diag(cov)))
+        return {
+            "flags": 0 if fit.success else 1,
+            "pars": fit.x,
+            "pars_cov": cov,
+            "pars_err": self.fit_perr,
+            "nfev": fit.nfev,
+        }
 
 
 class GPriorGauss(GPriorBase):
@@ -136,25 +193,16 @@ class GPriorGauss(GPriorBase):
         raise NotImplementedError("no 1d for gauss")
 
     def sample2d(self, nrand=None, **kw):
-        is_scalar = nrand is None
-        n = 1 if is_scalar else nrand
         gmax = self.gmax - 1.0e-4
-        g1 = np.zeros(n)
-        g2 = np.zeros(n)
-        ngood, nleft = 0, n
-        while ngood < n:
-            g1r = self.rng.normal(size=nleft, scale=self.sigma)
-            g2r = self.rng.normal(size=nleft, scale=self.sigma)
-            gr = np.sqrt(g1r**2 + g2r**2)
-            (w,) = np.where(gr < gmax)
-            if w.size > 0:
-                g1[ngood:ngood + w.size] = g1r[w]
-                g2[ngood:ngood + w.size] = g2r[w]
-                ngood += w.size
-                nleft -= w.size
-        if is_scalar:
-            return g1[0], g2[0]
-        return g1, g2
+
+        def propose(k):
+            cand = self.rng.normal(scale=self.sigma, size=(k, 2))
+            return cand[np.hypot(cand[:, 0], cand[:, 1]) < gmax]
+
+        pairs = draw_until(1 if nrand is None else nrand, propose)
+        if nrand is None:
+            return pairs[0, 0], pairs[0, 1]
+        return pairs[:, 0], pairs[:, 1]
 
 
 class GPriorBA(GPriorBase):
@@ -208,6 +256,13 @@ class GPriorBA(GPriorBase):
             * np.pi
             * g
         )
+
+    def _get_guess(self, num):
+        """moment-scaled starting point for fit(); jittered so retries
+        differ (ref: shape.py:645-663)"""
+        bin_width = self.xdata[1] - self.xdata[0]
+        base = np.array([1.3 * num * bin_width, 0.16])
+        return base * (1.0 + 0.2 * self.rng.uniform(-1.0, 1.0, size=2))
 
 
 class ZDisk2D(PriorBase):

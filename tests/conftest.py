@@ -6,6 +6,7 @@ jax may already be pre-imported in this environment (with the axon TPU
 platform), so use runtime config updates rather than env vars.
 """
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 try:
@@ -13,3 +14,39 @@ try:
 except Exception:  # pragma: no cover - backend already initialized
     pass
 jax.config.update("jax_enable_x64", True)
+
+# `pytest -m quick`: one representative fast test per subsystem, for
+# iteration (~2-3 min). The full suite stays the gate.
+QUICK_TESTS = {
+    "test_shape.py::test_g_e_roundtrip",
+    "test_moments.py::test_fwhm_sigma_T_roundtrips",
+    "test_gmix.py::test_fill_tables_normalized",
+    "test_observation.py::test_readonly_views",
+    "test_kobs_jacobian_util.py::test_jacobian_basic",
+    "test_gaussmom.py::test_gaussmom_gauss_recovery",
+    "test_admom.py::test_admom_gauss_recovery",
+    "test_em.py::test_em_1gauss",
+    "test_fitting_lm.py::test_lm_linear_problem",
+    "test_prepsfmom.py::test_prepsfmom_recovery",
+    "test_metacal.py::test_remap_exact",
+    "test_priors.py::test_normal",
+    "test_guessers.py::test_tflux_guesser",
+    "test_runners_bootstrap.py::test_bootstrap_full",
+    "test_medsreaders.py::test_meds_get_obs_fields",
+    "test_simobs_gaussap.py::test_simulate_obs_with_model",
+    "test_small_linalg.py::test_chol_solve_matches_numpy",
+    "test_misc_components.py::test_gmixnd_eval",
+    "test_kspace_fitters.py::test_kspace_gauss_fit",
+    "test_ragged.py::test_pack_ragged_buckets_and_masks",
+    "test_parallel.py::test_sharded_pipeline_matches_single_device",
+    "test_batch_pipeline.py::test_batch_pipeline_m_bias",
+    "test_noise_cov.py::test_noise_cov_white_matches_standard",
+    "test_anchors.py::test_gaussmom_closed_form_oracle",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        key = item.nodeid.split("[")[0].rsplit("/", 1)[-1]
+        if key in QUICK_TESTS:
+            item.add_marker(pytest.mark.quick)

@@ -98,6 +98,29 @@ def build_scene():
     return catalog
 
 
+def band_annotate(catalog, nband=2, seed=777):
+    """derived nband=2 catalog slice: epochs round-robin over bands
+    with per-object SED factors scaling image/noise (weights scale by
+    1/sed^2 so the noise model stays consistent). Uses its OWN rng so
+    the base scene's frozen streams are untouched."""
+    rng = np.random.RandomState(seed)
+    out = []
+    for obj in catalog:
+        sed = rng.uniform(0.6, 1.4, nband)
+        nepoch = len(obj["image"])
+        band = (np.arange(nepoch) % nband).astype(np.int32)
+        fac = sed[band]
+        out.append(dict(
+            image=[im * fac[e] for e, im in enumerate(obj["image"])],
+            weight=[w / fac[e] ** 2
+                    for e, w in enumerate(obj["weight"])],
+            noise=[nz * fac[e] for e, nz in enumerate(obj["noise"])],
+            cen=obj["cen"], psf_image=obj["psf_image"],
+            psf_cen=obj["psf_cen"], band=band,
+        ))
+    return out
+
+
 def compute_scene_catalog():
     """scene -> {<estimator>/<type>/<column>: array} for every column"""
     from ngmix_tpu.batch import MetacalConfig
@@ -119,6 +142,20 @@ def compute_scene_catalog():
         # sanity on the catalog itself, not just stability
         flags = np.asarray(res["noshear"]["flags"])
         assert (flags == 0).mean() > 0.95, (est, flags)
+
+    # joint multi-band slice: the 2-epoch objects observed in 2 bands
+    # (single-epoch objects would leave one band unconstrained)
+    mb2 = band_annotate(
+        [o for o in catalog if o["cen"].shape[0] == 2], nband=2
+    )
+    res = metacal_pipeline_ragged(mb2, conf, measure="exp-lm", nband=2)
+    for t in TYPES:
+        for col, val in sorted(res[t].items()):
+            arr = np.asarray(val)
+            if arr.dtype.kind in "fiub":
+                out["exp-lm-mb2/%s/%s" % (t, col)] = arr
+    flags = np.asarray(res["noshear"]["flags"])
+    assert (flags == 0).mean() > 0.9, flags
     return out
 
 

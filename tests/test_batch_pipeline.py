@@ -627,3 +627,132 @@ def test_pipeline_fn_prior_bounds_passthrough():
     # prior-regularized fits still recover the applied g1 ~ 0.02 in
     # the e ~ 2g convention at this s2n
     assert abs(np.mean(np.asarray(res["noshear"]["e1"])) - 0.02) < 0.01
+
+
+def test_batched_lm_s2n_matches_reference_definition():
+    """batched LM s2n is the reference's model-weighted
+    s2n_numer/sqrt(s2n_denom) at the best-fit parameters
+    (ngmix/fitting/results.py:56-67), verified against the independent
+    host FitModel path (Observation packing + calc_lnprob sums); the
+    flux-based proxy survives as s2n_flux."""
+    from ngmix_tpu import DiagonalJacobian, Observation
+    from ngmix_tpu.batch import MetacalConfig, _exp_lm_measure, make_pixels_batch
+    from ngmix_tpu.fitting.fit_model import FitModel
+    from ngmix_tpu.fitting.lm import LMConf
+
+    rng = np.random.RandomState(11)
+    B = 4
+    sigma_psf = 0.45
+    T_psf = 2 * sigma_psf**2
+    psf = GMixModel([0.0, 0.0, 0.0, 0.0, T_psf, 1.0], "gauss")
+    imgs = np.zeros((B,) + DIMS)
+    cens = np.zeros((B, 2))
+    for i in range(B):
+        off = rng.uniform(-0.5, 0.5, 2)
+        gal = GMixModel(
+            [0.0, 0.0, 0.05, -0.02, 0.5 + 0.1 * i, 100.0], "exp"
+        )
+        jac = DiagonalJacobian(row=16 + off[0], col=16 + off[1], scale=SCALE)
+        imgs[i] = gal.convolve(psf).make_image(DIMS, jacobian=jac)
+        imgs[i] += rng.normal(size=DIMS) * 1e-3
+        cens[i] = (16 + off[0], 16 + off[1])
+    weights = np.full((B,) + DIMS, 1e6)
+
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE)
+    )
+    pixels = make_pixels_batch(
+        jnp.asarray(imgs), jnp.asarray(weights), jnp.asarray(cens), conf
+    )
+    out = _exp_lm_measure(pixels, jnp.full(B, sigma_psf), LMConf())
+    assert np.all(np.asarray(out["flags"]) == 0)
+    assert "s2n_flux" in out
+
+    for i in range(B):
+        jac = DiagonalJacobian(row=cens[i, 0], col=cens[i, 1], scale=SCALE)
+        pim = psf.make_image(PSF_DIMS, jacobian=DiagonalJacobian(
+            row=12, col=12, scale=SCALE
+        ))
+        psf_obs = Observation(
+            pim, jacobian=DiagonalJacobian(row=12, col=12, scale=SCALE),
+            gmix=psf.copy(),
+        )
+        obs = Observation(
+            imgs[i], weight=weights[i], jacobian=jac, psf=psf_obs
+        )
+        pars_i = np.asarray(out["pars"][i])
+        fm = FitModel(obs, "exp", guess=pars_i)
+        more = fm.calc_lnprob(pars_i, more=True)
+        assert more["s2n_denom"] > 0
+        s2n_ref = more["s2n_numer"] / np.sqrt(more["s2n_denom"])
+        assert np.allclose(float(out["s2n"][i]), s2n_ref, rtol=1e-10), (
+            i, float(out["s2n"][i]), s2n_ref
+        )
+        # the flux proxy is close but not identical at high s2n
+        assert abs(float(out["s2n_flux"][i]) / s2n_ref - 1) < 0.5
+
+
+def test_mb_per_object_band_map():
+    """band as [B, E]: two groups of objects with SWAPPED epoch->band
+    assignments recover the same per-band fluxes (the epoch order must
+    not matter, only the map), also under the sharded mb pipeline
+    (ref: per-band parameter slicing, ngmix/fitting/results.py:1013-1047)"""
+    rng = np.random.RandomState(44)
+    B, E, nband = 8, 2, 2
+    FLUXES = (100.0, 50.0)
+
+    # per-object epoch->band map: even objects [0, 1], odd objects [1, 0]
+    band_be = np.zeros((B, E), dtype=np.int32)
+    band_be[1::2] = [1, 0]
+    band_be[0::2] = [0, 1]
+
+    psf = GMixModel([0.0, 0.0, 0.02, -0.01, 0.27, 1.0], "turb")
+    pjac = DiagonalJacobian(row=12, col=12, scale=SCALE)
+    pim = psf.make_image(PSF_DIMS, jacobian=pjac, fast_exp=False)
+    imgs = np.zeros((B, E) + DIMS)
+    cens = np.zeros((B, E, 2))
+    noise = rng.normal(size=(B, E) + DIMS) * 1e-4
+    for i in range(B):
+        off = rng.uniform(-0.5, 0.5, 2)
+        jac = DiagonalJacobian(row=16 + off[0], col=16 + off[1], scale=SCALE)
+        for j in range(E):
+            gal = GMixModel(
+                [0.0, 0.0, 0.0, 0.0, 0.5, FLUXES[band_be[i, j]]], "exp"
+            ).get_sheared(0.02, 0.0)
+            imgs[i, j] = gal.convolve(psf).make_image(
+                DIMS, jacobian=jac, fast_exp=False
+            )
+            imgs[i, j] += rng.normal(size=DIMS) * 1e-4
+            cens[i, j] = (16 + off[0], 16 + off[1])
+    weights = np.full((B, E) + DIMS, 1e8)
+    pimgs = np.tile(pim, (B, E, 1, 1))
+    pcens = np.full((B, E, 2), 12.0)
+    args = tuple(
+        jnp.asarray(x) for x in (imgs, weights, cens, pimgs, pcens, noise)
+    )
+
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2,
+    )
+    res = metacal_pipeline_mb(
+        *args, jnp.asarray(band_be), nband, conf, measure="exp-lm"
+    )
+    out = res["noshear"]
+    assert np.all(np.asarray(out["flags"]) == 0)
+    flux = np.asarray(out["flux"])  # [B, nband]
+    assert np.allclose(flux[:, 0], FLUXES[0], rtol=0.03), flux[:, 0]
+    assert np.allclose(flux[:, 1], FLUXES[1], rtol=0.03), flux[:, 1]
+
+    # sharded: per-object band map shards with the batch
+    from ngmix_tpu.parallel import make_mesh, make_sharded_mb_pipeline_fn
+
+    mesh = make_mesh(jax.devices()[:4])
+    fn, sharding = make_sharded_mb_pipeline_fn(
+        conf, mesh, band_be, nband, measure="exp-lm"
+    )
+    sargs = tuple(jax.device_put(a, sharding) for a in args)
+    sres, calib = fn(*sargs)
+    sflux = np.asarray(sres["noshear"]["flux"])
+    assert np.allclose(sflux, flux, rtol=1e-10)
+    assert abs(float(calib["shear"][0]) - 0.02) < 5e-4

@@ -173,3 +173,55 @@ def test_prepsfmom_batch():
         assert np.allclose(
             float(res["flux"][i]), float(single["flux"]), rtol=1e-8
         )
+
+
+def test_prepsfmom_partial_modes_matches_fft_path():
+    """the masked-mode partial-DFT batch path (no pad-factor grids)
+    reproduces the full-FFT path to f8 roundoff for both kernels and a
+    sheared WCS (ref: ngmix/prepsfmom.py:337-421 - the reductions are
+    masked dot products there too)"""
+    import jax.numpy as jnp
+
+    import ngmix_tpu
+    from ngmix_tpu.prepsfmom import prepsfmom_batch
+
+    rng = np.random.RandomState(3)
+    B, H, Hp = 4, 33, 25
+    scale = 0.263
+    psf = ngmix_tpu.GMixModel([0., 0., 0.02, -0.01, 0.27, 1.0], "turb")
+    gal = ngmix_tpu.GMixModel([0., 0., 0.1, -0.05, 0.5, 100.0], "exp")
+    conv = gal.convolve(psf)
+    imgs = np.zeros((B, H, H))
+    cens = np.zeros((B, 2))
+    pims = np.zeros((B, Hp, Hp))
+    pcens = np.full((B, 2), 12.0)
+    pjac = ngmix_tpu.DiagonalJacobian(row=12, col=12, scale=scale)
+    for i in range(B):
+        off = rng.uniform(-0.5, 0.5, 2)
+        jac = ngmix_tpu.DiagonalJacobian(
+            row=16 + off[0], col=16 + off[1], scale=scale
+        )
+        imgs[i] = conv.make_image((H, H), jacobian=jac)
+        imgs[i] += rng.normal(size=(H, H)) * 1e-4
+        cens[i] = (16 + off[0], 16 + off[1])
+        pims[i] = psf.make_image((Hp, Hp), jacobian=pjac)
+    tot_var = np.full(B, 1e-8 * H * H)
+
+    for kernel, fwhm in (("gauss", 2.0), ("ksigma", 1.2)):
+        for jt in ((scale, 0, 0, scale), (scale, 0.01, -0.02, 0.95 * scale)):
+            kw = dict(
+                target_dim=4 * H, kernel=kernel, jac_tuple=jt, fwhm=fwhm
+            )
+            args = tuple(
+                jnp.asarray(x) for x in (imgs, cens, pims, pcens, tot_var)
+            )
+            a = prepsfmom_batch(*args, partial_modes=False, **kw)
+            b = prepsfmom_batch(*args, partial_modes=True, **kw)
+            assert np.array_equal(
+                np.asarray(a["flags"]), np.asarray(b["flags"])
+            )
+            for key in ("e1", "e2", "T", "flux", "s2n", "T_err", "flux_err"):
+                np.testing.assert_allclose(
+                    np.asarray(a[key]), np.asarray(b[key]),
+                    rtol=1e-10, atol=1e-13, err_msg="%s %s" % (kernel, key),
+                )

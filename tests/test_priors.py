@@ -243,3 +243,92 @@ def test_fitter_with_prior():
     assert res["flags"] == 0
     assert np.allclose(res["pars"][4], 2.0, rtol=0.05)
     assert np.allclose(res["pars"][5], 100.0, rtol=0.05)
+
+
+def test_lognormal_sample_brute_matches_sample():
+    """brute-force rejection sampling agrees with the direct transform
+    sampler in mean/std (ref: ngmix/priors/priors.py:865-920)"""
+    from ngmix_tpu.priors import LogNormal
+
+    ln = LogNormal(4.0, 1.0, rng=np.random.RandomState(5))
+    a = ln.sample(20000)
+    b = ln.sample_brute(20000)
+    assert abs(np.mean(a) - np.mean(b)) < 0.05
+    assert abs(np.std(a) - np.std(b)) < 0.05
+    # scalar convention
+    assert np.isscalar(float(ln.sample_brute()))
+    # shifted variant
+    lns = LogNormal(4.0, 1.0, rng=np.random.RandomState(6), shift=2.0)
+    c = lns.sample_brute(20000)
+    assert abs(np.mean(c) - (np.mean(a) + 2.0)) < 0.07
+
+
+def test_lognormal_fit_recovers_parameters():
+    """offline fit utility recovers (mean, sigma, amp) from a sampled
+    profile (ref: ngmix/priors/priors.py:922-972)"""
+    from ngmix_tpu.priors import LogNormal
+
+    truth = LogNormal(3.0, 0.7, rng=np.random.RandomState(7))
+    x = np.linspace(0.5, 8.0, 200)
+    y = 5.0 * truth.get_prob_array(x)
+    res = LogNormal(1.0, 1.0, rng=np.random.RandomState(8)).fit(x, y)
+    assert res["flags"] == 0
+    assert np.allclose(res["pars"][:2], [3.0, 0.7], rtol=1e-3)
+    assert np.allclose(res["pars"][2], 5.0, rtol=1e-3)
+
+
+def test_gpriorba_fit_and_brute_sampling():
+    """GPriorBase.fit recovers (A, sigma) from a histogrammed |g|
+    profile; sample2d_brute matches sample2d statistically
+    (ref: ngmix/priors/shape.py:250-363)"""
+    from ngmix_tpu.priors import GPriorBA
+
+    rng = np.random.RandomState(9)
+    truth = GPriorBA(0.3, rng=rng, A=2.0)
+    g = np.linspace(0.005, 0.985, 150)
+    p = truth.get_prob_array1d(g)
+
+    fitter = GPriorBA(0.2, rng=np.random.RandomState(10))
+    res = fitter.fit(g, p, guess=[1.5, 0.25])
+    assert res["flags"] == 0
+    assert np.allclose(fitter.pars, [2.0, 0.3], rtol=1e-5)
+    assert fitter.fit_perr.shape == (2,)
+
+    # default guess path through _get_guess
+    fitter2 = GPriorBA(0.2, rng=np.random.RandomState(11))
+    res2 = fitter2.fit(g, p)
+    assert res2["flags"] == 0
+    assert np.allclose(fitter2.pars, [2.0, 0.3], rtol=1e-4)
+
+    g1a, g2a = truth.sample2d(20000)
+    g1b, g2b = truth.sample2d_brute(20000)
+    for a, b in ((g1a, g1b), (g2a, g2b)):
+        assert abs(np.mean(a) - np.mean(b)) < 0.01
+        assert abs(np.std(a) - np.std(b)) < 0.01
+
+    truth.set_maxval1d()
+    gg = np.linspace(1e-6, 0.9999, 4000)
+    assert truth.maxval1d >= np.max(truth.get_prob_array1d(gg)) - 1e-8
+
+
+def test_draw_until_overdraw_and_exact_count():
+    """the shared rejection accumulator returns exactly n and handles
+    low acceptance rates and 2-d proposals"""
+    from ngmix_tpu.priors.priors import draw_until
+
+    rng = np.random.RandomState(12)
+
+    def low_rate(k):
+        x = rng.uniform(size=k)
+        return x[x < 0.02]
+
+    out = draw_until(500, low_rate)
+    assert out.shape == (500,)
+    assert np.all(out < 0.02)
+
+    def pairs(k):
+        c = rng.uniform(size=(k, 2))
+        return c[c[:, 0] < 0.5]
+
+    out2 = draw_until(100, pairs)
+    assert out2.shape == (100, 2)

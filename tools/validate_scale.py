@@ -46,7 +46,7 @@ SHEARED_JAC = (
 def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
                types=5, select=False, mb=False, Bsz=2048, nbatch=50,
                seed=777, quiet=False, gint_max=0.3, lm_bounds=None,
-               gal_model="exp"):
+               gal_model="exp", nband=1):
     """accumulate calibration sums over nbatch sim+measure steps and
     return a result dict (m, se_m, R11, n, rate, extras).
 
@@ -68,11 +68,15 @@ def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
         psf_mode=psf_mode, types=all_types,
     )
 
+    # mb runs E = max(2, nband) epochs covering `nband` bands
+    # round-robin; nband >= 2 draws per-stamp per-band SED factors
+    nepoch = max(2, nband)
+
     def sim(key):
         if mb:
             return B.make_sim_batch_hetero(
-                key, Bsz, jac=jac, nepoch=2, gint_max=gint_max,
-                gal_model=gal_model,
+                key, Bsz, jac=jac, nepoch=nepoch, gint_max=gint_max,
+                gal_model=gal_model, nband=nband,
             )
         if het:
             return B.make_sim_batch_hetero(
@@ -83,8 +87,9 @@ def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
 
     def measure_step(args):
         if mb:
+            band = jnp.arange(nepoch, dtype=jnp.int32) % nband
             return metacal_pipeline_mb(
-                *args, jnp.zeros(2, jnp.int32), 1, conf, measure=measure,
+                *args, band, nband, conf, measure=measure,
                 lm_bounds=lm_bounds,
             )
         return metacal_pipeline(
@@ -254,11 +259,12 @@ SWEEP = [
     )),
     ("admom het", dict(measure="admom")),
     ("gaussmom het", dict(measure="gaussmom")),
-    # pre-psf measures run pad-4 FFT grids for all 5 types at once:
-    # B=2048 exceeds HBM (measured 19.4G needed / 15.75G), so they
-    # validate at B=512
-    ("pgauss het", dict(measure="pgauss", Bsz=512, nbatch=200)),
-    ("ksigma het", dict(measure="ksigma", Bsz=512, nbatch=200)),
+    # pre-psf measures: the partial-mode path (prepsfmom_batch
+    # partial_modes) never materializes the pad-4 grids, lifting the
+    # HBM ceiling that used to cap these at B=512 (19.4G needed /
+    # 15.75G at B=2048 on the old full-FFT path)
+    ("pgauss het", dict(measure="pgauss", Bsz=2048, nbatch=50)),
+    ("ksigma het", dict(measure="ksigma", Bsz=2048, nbatch=50)),
     ("exp-lm sheared-WCS", dict(measure="exp-lm", wcs="sheared")),
     ("gaussmom sheared-WCS", dict(measure="gaussmom", wcs="sheared")),
     ("exp-lm azgauss", dict(measure="exp-lm", psf_mode="azgauss")),
@@ -272,6 +278,18 @@ SWEEP = [
                                    gint_max=0.05, Bsz=4096,
                                    nbatch=1000)),
     ("exp-lm mb E=2", dict(measure="exp-lm", mb=True)),
+    # joint multi-band fits: E=2 epochs in 2 bands with per-stamp SED
+    # factors (the reference's oracle methodology through MultiBand
+    # obs, ngmix/metacal/bootstrap.py:63-119 +
+    # fitting/results.py:1013-1047)
+    ("exp-lm mb nband=2", dict(measure="exp-lm", mb=True, nband=2)),
+    ("bdf-lm mb nband=2 (bdf truth)", dict(
+        measure="bdf-lm", gal_model="bdf", mb=True, nband=2,
+        lm_bounds=(
+            [-2.0, -2.0, -0.99, -0.99, 1.0e-3, 0.0, 1.0e-3, 1.0e-3],
+            [2.0, 2.0, 0.99, 0.99, 20.0, 1.0, 1.0e9, 1.0e9],
+        ),
+    )),
 ]
 
 
@@ -284,6 +302,7 @@ def main():
     p.add_argument("--types", type=int, default=5, choices=[5, 9])
     p.add_argument("--select", action="store_true")
     p.add_argument("--mb", action="store_true")
+    p.add_argument("--nband", type=int, default=1)
     p.add_argument("--batch", type=int, default=2048)
     p.add_argument("--nbatch", type=int, default=50)
     p.add_argument("--sweep", action="store_true")
@@ -327,7 +346,7 @@ def main():
     run_config(
         measure=a.measure, psf_mode=a.psf_mode, het=not a.homog,
         wcs=a.wcs, types=a.types, select=a.select, mb=a.mb,
-        Bsz=a.batch, nbatch=a.nbatch,
+        nband=a.nband, Bsz=a.batch, nbatch=a.nbatch,
     )
 
 
