@@ -468,11 +468,17 @@ def _partial_dft_matrix(target_dim, sel, nin, offset, sign=-1):
 
 def prepsfmom_batch(images, cens, psf_images, psf_cens, tot_var,
                     target_dim, kernel, jac_tuple, fwhm, ap_rad=1.5,
-                    fwhm_smooth=0.0, partial_modes=True):
+                    fwhm_smooth=0.0, partial_modes=True,
+                    noise_images=None):
     """batched pre-psf moments over a [B] batch of stamps.
 
     images [B, H, W]; cens/psf_cens [B, 2]; tot_var [B]. Returns the
     batched moments result dict (see moments.make_mom_result).
+
+    noise_images [B, H, W] switches the noise covariance from the
+    white per-mode power (tot_var) to the measured per-mode power
+    |fft(noise)|^2 — the correlated-noise error model of the
+    reference's use_noise_image option (ngmix/prepsfmom.py:197-221).
 
     partial_modes=True (default) never materializes the pad_factor
     FFT grids: the measurement only consumes k-modes inside the
@@ -494,15 +500,18 @@ def prepsfmom_batch(images, cens, psf_images, psf_cens, tot_var,
     from .moments import make_mom_result
 
     if not partial_modes:
-        def one(im, cen, pim, pcen, tv):
+        use_noise = noise_images is not None
+
+        def one(im, cen, pim, pcen, tv, nz):
             return prepsfmom_core(
-                im, cen, pim, pcen, tv, jnp.zeros_like(im),
+                im, cen, pim, pcen, tv, nz,
                 int(target_dim), float(ap_rad), kernel, jac_tuple,
-                float(fwhm), float(fwhm_smooth), True, False,
+                float(fwhm), float(fwhm_smooth), True, use_noise,
             )
 
         mom, cov, norm, nrm = jax.vmap(one)(
-            images, cens, psf_images, psf_cens, tot_var
+            images, cens, psf_images, psf_cens, tot_var,
+            noise_images if use_noise else jnp.zeros_like(images),
         )
         res = make_mom_result(mom, cov, sums_norm=norm)
         res["kernel_nrm"] = nrm
@@ -577,11 +586,24 @@ def prepsfmom_batch(images, cens, psf_images, psf_cens, tot_var,
     ) * df2
 
     eff_pad = N / H
-    pnoise = tot_var * eff_pad**2  # [B] white per-mode power
     w = (1.0 / jnp.abs(kpsf_fl) ** 2).reshape(B, M)
-    cvals = jnp.einsum("bm,mk->bk", w, cmat, precision=hi) * (
-        pnoise[:, None] * df2 * df2
-    )
+    if noise_images is not None:
+        # measured per-mode power at the masked modes (the padded FFT
+        # of the noise stamp is the same partial DFT, no apodization)
+        knz = jnp.einsum(
+            "bhw,hr->brw", noise_images.astype(cdtype), Fr_g,
+            precision=hi,
+        )
+        knz = jnp.einsum("brw,wc->brc", knz, Fc_g, precision=hi)
+        pmode = (jnp.abs(knz) ** 2).reshape(B, M) * eff_pad**2
+        cvals = jnp.einsum(
+            "bm,mk->bk", w * pmode, cmat, precision=hi
+        ) * (df2 * df2)
+    else:
+        pnoise = tot_var * eff_pad**2  # [B] white per-mode power
+        cvals = jnp.einsum("bm,mk->bk", w, cmat, precision=hi) * (
+            pnoise[:, None] * df2 * df2
+        )
     cov = jnp.zeros((B, 6, 6), dtype)
     cov = cov.at[:, 0, 0].set(1.0).at[:, 1, 1].set(1.0)
     for k, (i, j) in enumerate(pairs):

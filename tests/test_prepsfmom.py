@@ -225,3 +225,61 @@ def test_prepsfmom_partial_modes_matches_fft_path():
                     np.asarray(a[key]), np.asarray(b[key]),
                     rtol=1e-10, atol=1e-13, err_msg="%s %s" % (kernel, key),
                 )
+
+
+def test_prepsfmom_partial_modes_noise_image_cov():
+    """with measured noise images, the partial-mode covariance (per-mode
+    power at the masked modes) matches the FFT path
+    (ref: ngmix/prepsfmom.py:197-221)"""
+    import jax.numpy as jnp
+
+    import ngmix_tpu
+    from ngmix_tpu.prepsfmom import prepsfmom_batch
+
+    rng = np.random.RandomState(13)
+    B, H, Hp = 3, 33, 25
+    scale = 0.263
+    psf = ngmix_tpu.GMixModel([0., 0., 0.02, -0.01, 0.27, 1.0], "turb")
+    gal = ngmix_tpu.GMixModel([0., 0., 0.1, -0.05, 0.5, 100.0], "exp")
+    conv = gal.convolve(psf)
+    jac = ngmix_tpu.DiagonalJacobian(row=16, col=16, scale=scale)
+    pjac = ngmix_tpu.DiagonalJacobian(row=12, col=12, scale=scale)
+    base = conv.make_image((H, H), jacobian=jac)
+    imgs = np.stack([base + rng.normal(size=(H, H)) * 1e-3
+                     for _ in range(B)])
+    # correlated noise: smoothed white noise
+    noise = np.stack([
+        np.convolve(
+            rng.normal(size=H * H), np.ones(3) / 3, mode="same"
+        ).reshape(H, H) * 1e-3
+        for _ in range(B)
+    ])
+    pims = np.tile(psf.make_image((Hp, Hp), jacobian=pjac), (B, 1, 1))
+    cens = np.full((B, 2), 16.0)
+    pcens = np.full((B, 2), 12.0)
+    tot_var = np.full(B, 1e-6 * H * H)
+
+    kw = dict(
+        target_dim=4 * H, kernel="gauss", jac_tuple=(scale, 0, 0, scale),
+        fwhm=2.0,
+    )
+    args = tuple(
+        jnp.asarray(x) for x in (imgs, cens, pims, pcens, tot_var)
+    )
+    a = prepsfmom_batch(
+        *args, partial_modes=False, noise_images=jnp.asarray(noise), **kw
+    )
+    b = prepsfmom_batch(
+        *args, partial_modes=True, noise_images=jnp.asarray(noise), **kw
+    )
+    white = prepsfmom_batch(*args, partial_modes=True, **kw)
+    for key in ("e1", "e2", "T", "flux", "s2n", "T_err", "flux_err"):
+        np.testing.assert_allclose(
+            np.asarray(a[key]), np.asarray(b[key]), rtol=1e-9,
+            err_msg=key,
+        )
+    # the measured-power errors genuinely differ from the white model
+    assert not np.allclose(
+        np.asarray(b["flux_err"]), np.asarray(white["flux_err"]),
+        rtol=1e-3,
+    )
