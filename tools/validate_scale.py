@@ -306,7 +306,25 @@ def main():
     p.add_argument("--batch", type=int, default=2048)
     p.add_argument("--nbatch", type=int, default=50)
     p.add_argument("--sweep", action="store_true")
+    p.add_argument("--sweep-row", default=None,
+                   help="run a single sweep entry by its label")
     a = p.parse_args()
+
+    if a.sweep_row is not None:
+        labels = {label: kw for label, kw in SWEEP}
+        if a.sweep_row not in labels:
+            raise SystemExit(
+                "unknown sweep row %r; known: %s"
+                % (a.sweep_row, sorted(labels)))
+        kw = dict(labels[a.sweep_row])
+        kw.setdefault("Bsz", a.batch)
+        kw.setdefault("nbatch", a.nbatch)
+        if kw.get("mb"):
+            kw["Bsz"] = min(kw["Bsz"], 1024)
+        print("== %s" % a.sweep_row, flush=True)
+        r = run_config(**kw)
+        print({k: v for k, v in r.items()})
+        return
 
     if a.sweep:
         rows = []
