@@ -528,18 +528,48 @@ def prepsfmom_batch(images, cens, psf_images, psf_cens, tot_var,
     build = ksigma_kernels if kernel == "ksigma" else gauss_kernels
     kern = build(N, fwhm, jac_tuple, fwhm_smooth, dtype=np.float64, xp=np)
     msk = np.asarray(kern["msk"])
-    rows = np.flatnonzero(msk.any(axis=1))
+    all_rows = np.flatnonzero(msk.any(axis=1))
     cols = np.flatnonzero(msk.any(axis=0))
-    fm = msk[np.ix_(rows, cols)].astype(np.float64)
-    fk = [np.asarray(kern[k])[np.ix_(rows, cols)] * fm
+    freqs = np.fft.fftfreq(N)
+
+    # real inputs: modes come in conjugate pairs k <-> -k and every
+    # consumed quantity is even under the pairing (the kernels depend
+    # on fv^2/fu^2/fu*fv; Re(kim_d) and |kpsf|^2 are even for real
+    # image/psf/noise stamps), so only the canonical half-plane is
+    # computed and a weight plane (2 for paired modes, 1 for
+    # self-conjugate, 0 for the dropped half of self-conjugate rows)
+    # folds into the constant kernel planes. Halves the DFT matmuls
+    # and the per-lane mode block.
+    def selfconj(i):
+        return i == 0 or (N % 2 == 0 and i == N // 2)
+
+    rows = np.asarray(
+        [r for r in all_rows if freqs[r] > 0 or selfconj(r)], np.int64
+    )
+    wgt = np.full((rows.size, cols.size), 2.0)
+    for i, r in enumerate(rows):
+        if selfconj(r):
+            for j, c in enumerate(cols):
+                if selfconj(c):
+                    wgt[i, j] = 1.0
+                elif freqs[c] < 0:
+                    wgt[i, j] = 0.0
+
+    fm = msk[np.ix_(rows, cols)].astype(np.float64) * wgt
+    fk = [np.asarray(kern[k])[np.ix_(rows, cols)]
           for k in ("fkp", "fkc", "fkr", "fkf")]
     M = rows.size * cols.size
-    # moment-sum planes [M, 4] and covariance products [M, 10]
-    kmat = jnp.asarray(np.stack([f.reshape(-1) for f in fk], axis=-1),
-                       dtype)
+    # moment-sum planes [M, 4] and covariance products [M, 10], with
+    # the mask and conjugate-pair weights folded in
+    kmat = jnp.asarray(
+        np.stack([(f * fm).reshape(-1) for f in fk], axis=-1), dtype
+    )
     pairs = [(i, j) for i in range(4) for j in range(i, 4)]
     cmat = jnp.asarray(
-        np.stack([(fk[i] * fk[j]).reshape(-1) for i, j in pairs], axis=-1),
+        np.stack(
+            [(fk[i] * fk[j] * fm).reshape(-1) for i, j in pairs],
+            axis=-1,
+        ),
         dtype,
     )
     # DC mode position inside the selection (row/col 0 are always in
