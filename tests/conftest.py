@@ -5,6 +5,8 @@ multi-chip sharding paths are exercised without TPU hardware.
 jax may already be pre-imported in this environment (with the axon TPU
 platform), so use runtime config updates rather than env vars.
 """
+import os
+
 import jax
 import pytest
 
@@ -14,6 +16,18 @@ try:
 except Exception:  # pragma: no cover - backend already initialized
     pass
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: the suite's cost is dominated by
+# recompiling near-identical pipeline programs; warm reruns skip it
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/jax_ngmix_tpu_tests"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # pragma: no cover - older jax
+    pass
 
 # `pytest -m quick`: one representative fast test per subsystem, for
 # iteration (~2-3 min). The full suite stays the gate.
