@@ -959,18 +959,23 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
     return out
 
 
+def _safe_best_pars(pars, flags):
+    """best-fit pars with failed lanes replaced by a benign round
+    unit-T point: sentinel pars (PDEF) would overflow the gaussian
+    fill; flags != 0 lanes are masked to zero downstream. Shared by
+    the flat and mb s2n epilogues so the masking rule cannot drift."""
+    npars = pars.shape[-1]
+    benign = jnp.zeros((npars,), pars.dtype).at[4].set(1.0)
+    return jnp.where((flags == 0)[:, None], pars, benign)
+
+
 def _model_s2n_sums(pars, flags, fill_fn, psf_gmix, pixels):
     """model-weighted s/n sums at the best-fit parameters.
 
     The reference definition (ngmix/fitting/results.py:56-67) built
     from the per-pixel sums of ngmix/gmix/gmix_nb.py:825-874:
-    s2n_numer = sum(val*model*ivar), s2n_denom = sum(model^2*ivar).
-    Failed lanes may carry sentinel pars (PDEF) that would overflow the
-    gaussian fill, so they are evaluated at a benign round unit-T point
-    and masked to zero downstream (flags != 0 lanes report s2n = 0)."""
-    npars = pars.shape[-1]
-    benign = jnp.zeros((npars,), pars.dtype).at[4].set(1.0)
-    safe = jnp.where((flags == 0)[:, None], pars, benign)
+    s2n_numer = sum(val*model*ivar), s2n_denom = sum(model^2*ivar)."""
+    safe = _safe_best_pars(pars, flags)
     gm0, _ = fill_fn(safe)
     gm = gcore.gmix_convolve(gm0, psf_gmix)
     _, num, den, _ = gcore.get_loglike(gm, pixels)
@@ -1479,10 +1484,7 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
         # ALL epochs/bands (ngmix/fitting/results.py:56-67); failed
         # lanes are evaluated at a benign point and masked to zero
         lnp_fn = make_lnprob_fn(model)
-        benign = jnp.zeros((npars,), dtype).at[4].set(1.0)
-        safe = jnp.where(
-            (out["flags"] == 0)[:, None], out["pars"], benign
-        )
+        safe = _safe_best_pars(out["pars"], out["flags"])
         _, s2n_num, s2n_den, _ = jax.vmap(lnp_fn)(safe, data)
         _lm_result_columns(
             out, model, nshape, nband=nband, s2n_sums=(s2n_num, s2n_den)

@@ -58,16 +58,26 @@ def is_initialized():
 def host_shard_bounds(nobj, process_index=None, process_count=None):
     """[start, stop) catalog slice this host should load.
 
-    Contiguous balanced split (first ``nobj % P`` hosts take one
-    extra): the per-host I/O sharding for MEDS-style input. The
-    resulting local slices concatenate in process order to the global
-    batch, matching global_batch_from_local.
+    Contiguous equal split: the per-host I/O sharding for MEDS-style
+    input. The local slices concatenate in process order to the global
+    batch, matching global_batch_from_local. The catalog size must
+    divide by the process count — uneven local sizes are rejected by
+    jax.make_array_from_process_local_data (non-uniform sharding), and
+    the shard_map'd pipelines additionally need divisibility by the
+    device count; pad the catalog (ngmix_tpu.ragged pads with
+    zero-weight entries) to a divisible size instead.
     """
     p = jax.process_index() if process_index is None else process_index
     n = jax.process_count() if process_count is None else process_count
-    base, extra = divmod(int(nobj), n)
-    start = p * base + min(p, extra)
-    return start, start + base + (1 if p < extra else 0)
+    if int(nobj) % n:
+        raise ValueError(
+            "catalog size %d does not divide by %d processes; pad the "
+            "catalog to a divisible size (uneven local slices cannot "
+            "be assembled into one uniformly-sharded global batch)"
+            % (nobj, n)
+        )
+    per = int(nobj) // n
+    return p * per, (p + 1) * per
 
 
 def global_batch_from_local(mesh, *local_arrays, axis_name="batch"):
@@ -104,7 +114,10 @@ def local_results(results, mesh, axis_name="batch"):
     """
 
     def pull(x):
-        if not hasattr(x, "addressable_shards"):
+        # replicated leaves (psum'd calibration scalars) pass through
+        # whole: concatenating their per-device copies would duplicate
+        # rows once per local device
+        if not hasattr(x, "addressable_shards") or x.is_fully_replicated:
             return np.asarray(x)
         shards = sorted(
             x.addressable_shards, key=lambda s: s.index[0].start or 0

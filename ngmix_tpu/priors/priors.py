@@ -33,6 +33,10 @@ def draw_until(n, propose):
     cannot stall), so even narrow acceptance windows finish in a
     handful of rounds. Returns exactly ``n`` values (leading axis).
     """
+    if n <= 0:
+        # empty draw with the right trailing shape (size-0 proposals
+        # consume nothing from the rng stream)
+        return np.asarray(propose(0))[:0]
     kept = []
     have = 0
     asked = 0
@@ -191,6 +195,9 @@ class Normal(PriorBase):
         super().__init__(rng=rng, bounds=bounds)
         self.mean = mean
         self.sigma = sigma
+        # public reference attributes (ngmix priors.py:420-421)
+        self.sinv = 1.0 / sigma
+        self.s2inv = 1.0 / sigma**2
         self.ndim = 1
 
     def _zscore(self, val):

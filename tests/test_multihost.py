@@ -85,3 +85,31 @@ def test_two_process_multihost_matches_single_process(tmp_path):
     np.testing.assert_allclose(
         mh["local_e1"], np.asarray(res["noshear"]["e1"])[:8], rtol=1e-10
     )
+
+
+def test_local_results_replicated_passthrough_and_uneven_guard():
+    """replicated leaves pass through whole (regression: one copy per
+    local device was concatenated) and uneven catalog splits raise"""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ngmix_tpu.parallel import distributed as dist, make_mesh
+
+    mesh = make_mesh(jax.devices()[:4])
+    rep = jax.device_put(
+        jnp.arange(3.0), NamedSharding(mesh, P())
+    )
+    shd = jax.device_put(
+        jnp.arange(8.0), NamedSharding(mesh, P("batch"))
+    )
+    out = dist.local_results({"rep": rep, "rows": shd}, mesh)
+    assert out["rep"].shape == (3,)
+    np.testing.assert_array_equal(out["rep"], np.arange(3.0))
+    assert out["rows"].shape == (8,)
+    np.testing.assert_array_equal(out["rows"], np.arange(8.0))
+
+    with pytest.raises(ValueError, match="does not divide"):
+        dist.host_shard_bounds(10, process_index=0, process_count=3)
+    assert dist.host_shard_bounds(12, 1, 3) == (4, 8)

@@ -332,3 +332,20 @@ def test_draw_until_overdraw_and_exact_count():
 
     out2 = draw_until(100, pairs)
     assert out2.shape == (100, 2)
+
+
+def test_draw_until_zero_and_scalar_edges():
+    """n=0 draws return empty with the right trailing shape (regression:
+    np.concatenate([]) raised)"""
+    from ngmix_tpu.priors import LogNormal, TruncatedGaussian
+
+    tg = TruncatedGaussian(0.0, 1.0, -0.5, 0.5, rng=np.random.RandomState(2))
+    out = tg.sample(0)
+    assert out.shape == (0,)
+    ln = LogNormal(4.0, 1.0, rng=np.random.RandomState(3))
+    assert ln.sample_brute(0).shape == (0,)
+    # reference-parity public attributes on Normal
+    from ngmix_tpu.priors import Normal
+
+    nrm = Normal(1.0, 2.0, rng=np.random.RandomState(4))
+    assert nrm.sinv == 0.5 and nrm.s2inv == 0.25

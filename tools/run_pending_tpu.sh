@@ -8,10 +8,14 @@ cd "$(dirname "$0")/.."
 mkdir -p tools/tpu_logs
 log() { echo "[$(date +%H:%M:%S)] $*" | tee -a tools/tpu_logs/queue.log; }
 
+# NO timeouts: killing a client mid-TPU-program leaves the in-flight
+# program running on the chip and has wedged it for hours before
+# (CLAUDE.md). The budget arg is recorded for the log only; a stuck
+# job must be waited out or the tunnel is already gone.
 run() {
-  name=$1; tmo=$2; shift 2
-  log "START $name: $*"
-  timeout "$tmo" "$@" > "tools/tpu_logs/$name.log" 2>&1
+  name=$1; budget=$2; shift 2
+  log "START $name (budget ~${budget}s): $*"
+  "$@" > "tools/tpu_logs/$name.log" 2>&1
   rc=$?
   log "END $name rc=$rc ($(tail -c 300 "tools/tpu_logs/$name.log" | tr '\n' ' '))"
 }

@@ -310,30 +310,31 @@ def main():
                    help="run a single sweep entry by its label")
     a = p.parse_args()
 
+    def prepare_row(kw):
+        """one preparation path for --sweep and --sweep-row, so a
+        single row always runs at the same scale as the full sweep"""
+        kw = dict(kw)
+        kw.setdefault("Bsz", a.batch)
+        kw.setdefault("nbatch", a.nbatch)
+        if kw.get("mb"):
+            kw["Bsz"] = min(kw["Bsz"], 1024)  # E>=2 multiplies stamps
+        return kw
+
     if a.sweep_row is not None:
         labels = {label: kw for label, kw in SWEEP}
         if a.sweep_row not in labels:
             raise SystemExit(
                 "unknown sweep row %r; known: %s"
                 % (a.sweep_row, sorted(labels)))
-        kw = dict(labels[a.sweep_row])
-        kw.setdefault("Bsz", a.batch)
-        kw.setdefault("nbatch", a.nbatch)
-        if kw.get("mb"):
-            kw["Bsz"] = min(kw["Bsz"], 1024)
         print("== %s" % a.sweep_row, flush=True)
-        r = run_config(**kw)
+        r = run_config(**prepare_row(labels[a.sweep_row]))
         print({k: v for k, v in r.items()})
         return
 
     if a.sweep:
         rows = []
         for label, kw in SWEEP:
-            kw = dict(kw)
-            kw.setdefault("Bsz", a.batch)
-            kw.setdefault("nbatch", a.nbatch)
-            if kw.get("mb"):
-                kw["Bsz"] = min(kw["Bsz"], 1024)  # E=2 doubles stamps
+            kw = prepare_row(kw)
             print("== %s" % label, flush=True)
             t0 = time.time()
             try:
