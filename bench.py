@@ -367,12 +367,64 @@ def secondary_rates(args, B):
     return out
 
 
+def _probe_default_backend(timeout=150):
+    """can the default (tunnel) backend run a trivial program?
+
+    Probed in a SUBPROCESS: a dead tunnel hangs the client forever, so
+    an in-process probe could never time out. The probe program is a
+    64x64 matmul - trivial enough that an abandoned copy on a wedged
+    queue is harmless.
+    """
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp; "
+        "x = jnp.ones((64, 64)); print(float((x @ x).sum()))"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    import os
+
     # post crop-iDFT + unrolled normal equations the rate plateaus at
     # ~33k stamps/s for B in [8192, 16384] (30.6k @6144); 10240 is the
     # plateau's start with the shortest wall clock
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
     nrep = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+    # Tunnel-outage resilience: if the default backend cannot run a
+    # trivial program (the axon tunnel has gone fully unresponsive for
+    # >10h stretches), fall back to an honest, clearly-labeled CPU run
+    # at reduced scale rather than dying with a backend error. The CPU
+    # number is NOT the headline per-chip figure - tpu_unavailable is
+    # set so no one mistakes it for one. NGMIX_BENCH_BACKEND=tpu
+    # disables the fallback; =cpu forces it.
+    forced = os.environ.get("NGMIX_BENCH_BACKEND", "")
+    tpu_unavailable = False
+    if forced != "tpu" and (
+        forced == "cpu" or not _probe_default_backend()
+    ):
+        tpu_unavailable = forced != "cpu"
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        B = min(B, 512)
+        nrep = min(nrep, 2)
+        os.environ.setdefault("NGMIX_BENCH_SECONDARY", "0")
+        if tpu_unavailable:
+            print(
+                "# WARNING: default backend unresponsive; CPU fallback "
+                "at B=%d (NOT a per-chip number)" % B, file=sys.stderr,
+            )
 
     key = jax.random.PRNGKey(314)
     args = jax.block_until_ready(make_sim_batch(key, B))
@@ -405,8 +457,6 @@ def main():
     sr = shear_response(res)
     m = float(sr["shear"][0]) / SHEAR_TRUE - 1.0
     nbad = int(np.sum(np.asarray(res["noshear"]["flags"]) != 0))
-
-    import os
 
     if os.environ.get("NGMIX_BENCH_SECONDARY", "1") != "0":
         secondary = secondary_rates(args, B)
@@ -443,6 +493,13 @@ def main():
             **secondary,
         },
     }
+    if tpu_unavailable:
+        out["extra"]["tpu_unavailable"] = True
+        out["extra"]["note"] = (
+            "TPU tunnel unresponsive: CPU fallback at reduced batch - "
+            "NOT a per-chip figure; last TPU readings are in README/"
+            "CLAUDE.md. " + out["extra"]["note"]
+        )
     print(json.dumps(out))
 
 
