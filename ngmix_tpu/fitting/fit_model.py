@@ -38,22 +38,42 @@ class FitData(NamedTuple):
     band: jnp.ndarray  # [nepoch] int32
 
 
+_FLUX_START = {"bd": 7, "bdf": 6}
+
+
 def get_band_pars_device(model, pars, band):
     """slice shared pars + per-band flux for one epoch (device).
 
     ref: ngmix/fitting/results.py:1013-1046.
     """
-    if model == "bd":
-        flux = jnp.take(pars, 7 + band)
-        return jnp.concatenate([pars[:7], flux[None]])
-    elif model == "bdf":
-        flux = jnp.take(pars, 6 + band)
-        return jnp.concatenate([pars[:6], flux[None]])
-    elif model == "coellip":
+    if model == "coellip":
         return pars
-    else:
-        flux = jnp.take(pars, 5 + band)
-        return jnp.concatenate([pars[:5], flux[None]])
+    start = _FLUX_START.get(model, 5)
+    flux = jnp.take(pars, start + band)
+    return jnp.concatenate([pars[:start], flux[None]])
+
+
+def epoch_band_pars(model, pars, band):
+    """[E, band_npars] per-epoch parameter rows for the whole fit.
+
+    The shared shape columns broadcast; each epoch's band flux comes
+    from a dense one-hot contraction over the flux block rather than a
+    per-epoch gather (exactly one 1.0 per row, so the selection is
+    IEEE-exact) - gathers inside the jacfwd x while_loop objective are
+    a poor fit for the TPU lowering, a tiny matmul is not. Same rows
+    as vmapping get_band_pars_device over the epochs.
+    """
+    E = band.shape[0]
+    if model == "coellip":
+        return jnp.broadcast_to(pars, (E,) + pars.shape)
+    start = _FLUX_START.get(model, 5)
+    flux = pars[start:]
+    onehot = (
+        band[:, None] == jnp.arange(flux.shape[0], dtype=band.dtype)
+    ).astype(pars.dtype)
+    flux_e = onehot @ flux
+    shared = jnp.broadcast_to(pars[:start], (E, start))
+    return jnp.concatenate([shared, flux_e[:, None]], axis=-1)
 
 
 def make_fdiff_fn(model, prior=None):
@@ -66,15 +86,8 @@ def make_fdiff_fn(model, prior=None):
     """
 
     def fdiff_fn(pars, data: FitData):
-        nepoch = data.band.shape[0]
-
-        def epoch_gmix(band):
-            bpars = get_band_pars_device(model, pars, band)
-            return gcore.gmix_fill(model, bpars)
-
-        import jax
-
-        gm0, gflags = jax.vmap(epoch_gmix)(data.band)  # [nepoch, n, 6]
+        bpars = epoch_band_pars(model, pars, data.band)
+        gm0, gflags = gcore.gmix_fill(model, bpars)  # [nepoch, n, 6]
         if data.psf_gmix is not None:
             gm = gcore.gmix_convolve(gm0, data.psf_gmix)
         else:
@@ -100,13 +113,8 @@ def make_lnprob_fn(model, prior=None):
     """(pars, FitData) -> (lnprob, s2n_numer, s2n_denom, npix)"""
 
     def lnprob_fn(pars, data: FitData):
-        import jax
-
-        def epoch_gmix(band):
-            bpars = get_band_pars_device(model, pars, band)
-            return gcore.gmix_fill(model, bpars)
-
-        gm0, gflags = jax.vmap(epoch_gmix)(data.band)
+        bpars = epoch_band_pars(model, pars, data.band)
+        gm0, gflags = gcore.gmix_fill(model, bpars)
         if data.psf_gmix is not None:
             gm = gcore.gmix_convolve(gm0, data.psf_gmix)
         else:
