@@ -8,6 +8,7 @@ image set with optional fixnoise, and the per-type measurements - is
 one jitted program over stacked [B, H, W] arrays, sharding over the
 batch axis on a device mesh (see parallel/).
 """
+import os
 from typing import NamedTuple
 
 import jax
@@ -923,11 +924,7 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
     if use_pallas is None:
         use_pallas = False
     if compact_capacity == "auto":
-        # geometric halving tracks the shrinking active set; measured
-        # optimum on v5e (B=5120: 0.240s -> 0.130s for the LM stage)
-        compact_capacity = tuple(
-            B // (2 ** i) for i in range(1, 8) if B // (2 ** i) >= 32
-        )
+        compact_capacity = _auto_cascade(B)
     # per-stamp unmasked row count for the chi2/dof covariance scale
     nres = jnp.sum(pixels.ierr > 0, axis=-1)
     fill_fn = _MODEL_FILLS[model]
@@ -957,6 +954,20 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
     )
     _lm_result_columns(out, model, nshape, s2n_sums=s2n_sums)
     return out
+
+
+def _auto_cascade(B):
+    """default straggler-compaction capacities for a batch of B lanes.
+
+    Geometric halving B/2, B/4, ... tracks the shrinking active set
+    (measured on v5e, B=5120: 0.240s -> 0.130s for the LM stage). An
+    optional 3B/4 head level (NGMIX_CASCADE34=1) gathers one iteration
+    earlier at the cost of an extra near-full-width data copy.
+    """
+    caps = tuple(B // (2 ** i) for i in range(1, 8) if B // (2 ** i) >= 32)
+    if os.environ.get("NGMIX_CASCADE34", "0") == "1" and 3 * B // 4 >= 32:
+        caps = (3 * B // 4,) + caps
+    return caps
 
 
 def _safe_best_pars(pars, flags):
@@ -1468,11 +1479,7 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
             return _normal_reductions(r, J)
 
         nres = jnp.sum(pixels.ierr > 0, axis=(-2, -1))
-        caps = tuple(
-            T * B // (2 ** i)
-            for i in range(1, 8)
-            if T * B // (2 ** i) >= 32
-        )
+        caps = _auto_cascade(T * B)
         prior_fn = (
             None if lm_prior is None else lm_prior.fill_fdiff_device
         )
