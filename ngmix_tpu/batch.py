@@ -1233,6 +1233,94 @@ def shear_response_select(results, select_fn, step=DEFAULT_STEP):
 # ----------------------------------------------------------------------
 # multi-epoch / multi-band pipeline (MEDS-style)
 
+def _mb_epochwise_normal_fn(model, nband):
+    """multi-band normal-equation reductions with PER-EPOCH jacobians.
+
+    The joint fit's global parameter vector is [nshape shared pars +
+    nband fluxes], but any single epoch only ever sees 6-8 effective
+    parameters: the shared shape plus its OWN band's flux
+    (epoch_band_pars). jacfwd over the global vector therefore wastes
+    nband-1 tangent passes per epoch on identically-zero flux columns
+    and materializes a [B, E*P, nshape+nband] jacobian. Instead:
+    jacfwd each epoch-stamp over its 6-8 effective pars (the SAME
+    per-stamp work as the flat pipeline), reduce per epoch with the
+    unrolled kernels, and assemble the global (Jtr, JtJ) with band
+    one-hot sums over the epoch axis - the flux block of JtJ is
+    diagonal by construction (an epoch contributes to exactly one
+    band). Bad-parameter coupling matches the fused objective: any bad
+    epoch poisons the whole lane (rows FDIFF_BAD, zero gradient).
+
+    At E=1/nband=1 every reduction degenerates to the flat pipeline's
+    (the epoch sum is over one element), so the mb==flat bitwise
+    parity test gates this path too.
+    """
+    from .fitting.fit_model import FDIFF_BAD, epoch_band_pars
+
+    fill_fn = _MODEL_FILLS[model]
+    start = _MODEL_NSHAPE[model]
+
+    def normal_fn(pars, d):
+        px, pg, bnd = d.pixels, d.psf_gmix, d.band
+        Bc, E = bnd.shape
+        bpars = jax.vmap(
+            lambda p, b: epoch_band_pars(model, p, b)
+        )(pars, bnd)  # [Bc, E, start+1]
+        bp_f = bpars.reshape(Bc * E, start + 1)
+        px_f = jax.tree.map(
+            lambda x: x.reshape((Bc * E,) + x.shape[2:]), px
+        )
+        pg_f = pg.reshape((Bc * E,) + pg.shape[2:])
+
+        def one(p6, pxe, pge):
+            def f(q):
+                return _model_lm_fdiff(q, (pxe, pge), fill_fn)
+
+            return f(p6), jax.jacfwd(f)(p6)
+
+        r, J = jax.vmap(one)(bp_f, px_f, pg_f)  # [BE, P], [BE, P, 6]
+
+        # epoch-bad coupling (cheap re-fill; flags only, no pixels)
+        gm0, gflags = fill_fn(bp_f)
+        gm = gcore.gmix_convolve(gm0, pg_f)
+        bad_e = (gflags != 0) | (gcore.gmix_flags(gm) != 0)
+        any_bad = jnp.any(bad_e.reshape(Bc, E), axis=1)  # [Bc]
+        ab_f = jnp.broadcast_to(any_bad[:, None], (Bc, E)).reshape(-1)
+        r = jnp.where(ab_f[:, None], FDIFF_BAD, r)
+        J = jnp.where(ab_f[:, None, None], 0.0, J)
+
+        cost_e, jtr_e, jtj_e = _normal_reductions(r, J)
+        cost = cost_e.reshape(Bc, E).sum(axis=1)
+        jtr_e = jtr_e.reshape(Bc, E, start + 1)
+        jtj_e = jtj_e.reshape(Bc, E, start + 1, start + 1)
+        oh = (
+            bnd[:, :, None] == jnp.arange(nband, dtype=bnd.dtype)
+        ).astype(r.dtype)  # [Bc, E, nband]
+
+        Jtr_s = jnp.sum(jtr_e[..., :start], axis=1)  # [Bc, start]
+        Jtr_f = jnp.sum(
+            oh * jtr_e[..., start][..., None], axis=1
+        )  # [Bc, nband]
+        Jtr = jnp.concatenate([Jtr_s, Jtr_f], axis=-1)
+
+        SS = jnp.sum(jtj_e[..., :start, :start], axis=1)
+        SF = jnp.sum(
+            jtj_e[..., :start, start][..., None] * oh[:, :, None, :],
+            axis=1,
+        )  # [Bc, start, nband]
+        ff_diag = jnp.sum(
+            oh * jtj_e[..., start, start][..., None], axis=1
+        )  # [Bc, nband]
+        FF = jax.vmap(jnp.diag)(ff_diag)
+        top = jnp.concatenate([SS, SF], axis=-1)
+        bot = jnp.concatenate(
+            [jnp.swapaxes(SF, -1, -2), FF], axis=-1
+        )
+        JtJ = jnp.concatenate([top, bot], axis=-2)
+        return cost, Jtr, JtJ
+
+    return normal_fn
+
+
 def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
                         band, nband, conf: MetacalConfig, lm_conf=None,
                         measure="exp-lm", measure_fwhm=1.2,
@@ -1465,18 +1553,24 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
             hi = jnp.asarray(lm_bounds[1], dtype)
             guess = _clamp_guess_in_bounds(guess, lo, hi)
 
-        fdiff_fn = make_fdiff_fn(model)
+        if os.environ.get("NGMIX_MB_OBJECTIVE", "epoch") == "fused":
+            # reference-shaped objective: one jacfwd over the full
+            # global parameter vector (kept for A/B and as the oracle
+            # for the epochwise path's parity test)
+            fdiff_fn = make_fdiff_fn(model)
 
-        def mb_normal_fn(pars, d):
-            # jacfwd, not linearize + seeds: see _make_ad_normal_fn
-            def one(p, dd):
-                def f(q):
-                    return fdiff_fn(q, dd)
+            def mb_normal_fn(pars, d):
+                # jacfwd, not linearize + seeds: see _make_ad_normal_fn
+                def one(p, dd):
+                    def f(q):
+                        return fdiff_fn(q, dd)
 
-                return f(p), jax.jacfwd(f)(p)
+                    return f(p), jax.jacfwd(f)(p)
 
-            r, J = jax.vmap(one)(pars, d)
-            return _normal_reductions(r, J)
+                r, J = jax.vmap(one)(pars, d)
+                return _normal_reductions(r, J)
+        else:
+            mb_normal_fn = _mb_epochwise_normal_fn(model, nband)
 
         nres = jnp.sum(pixels.ierr > 0, axis=(-2, -1))
         caps = _auto_cascade(T * B)

@@ -756,3 +756,58 @@ def test_mb_per_object_band_map():
     sflux = np.asarray(sres["noshear"]["flux"])
     assert np.allclose(sflux, flux, rtol=1e-10)
     assert abs(float(calib["shear"][0]) - 0.02) < 5e-4
+
+
+def test_mb_epochwise_objective_matches_fused():
+    """the per-epoch-jacobian mb objective (band one-hot normal-equation
+    assembly, batch._mb_epochwise_normal_fn) agrees with the fused
+    global-jacfwd objective on a heterogeneous E=3/nband=2 fit with a
+    per-object band map, prior rows and bounds - same solver, same
+    stopping rules, so pars agree to reduction-reassociation noise"""
+    import os
+
+    rng = np.random.RandomState(51)
+    B, E, nband = 8, 3, 2
+    band_be = np.zeros((B, E), dtype=np.int32)
+    band_be[0::2] = [0, 0, 1]
+    band_be[1::2] = [1, 0, 1]
+
+    single = [_sim_batch(rng, B) for _ in range(E)]
+    stack = [jnp.stack([s[i] for s in single], axis=1) for i in range(6)]
+    args = tuple(stack)
+
+    prior = _simple_prior(nband=nband)
+    bounds = (
+        np.array([-1.0, -1.0, -0.99, -0.99, 0.001, 0.001, 0.001]),
+        np.array([1.0, 1.0, 0.99, 0.99, 100.0, 1.0e5, 1.0e5]),
+    )
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2,
+    )
+
+    def run():
+        return metacal_pipeline_mb(
+            *args, jnp.asarray(band_be), nband, conf,
+            measure="gauss-lm", lm_prior=prior, lm_bounds=bounds,
+        )
+
+    os.environ["NGMIX_MB_OBJECTIVE"] = "fused"
+    try:
+        ref = run()
+    finally:
+        os.environ.pop("NGMIX_MB_OBJECTIVE")
+    new = run()
+
+    for t in ("noshear", "1p", "2m"):
+        np.testing.assert_array_equal(
+            np.asarray(ref[t]["flags"]), np.asarray(new[t]["flags"]), t
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref[t]["pars"]), np.asarray(new[t]["pars"]),
+            rtol=1e-8, atol=1e-10, err_msg=t,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref[t]["s2n"]), np.asarray(new[t]["s2n"]),
+            rtol=1e-8, err_msg=t,
+        )
