@@ -1265,11 +1265,6 @@ def _mb_epochwise_normal_fn(model, nband):
         bpars = jax.vmap(
             lambda p, b: epoch_band_pars(model, p, b)
         )(pars, bnd)  # [Bc, E, start+1]
-        bp_f = bpars.reshape(Bc * E, start + 1)
-        px_f = jax.tree.map(
-            lambda x: x.reshape((Bc * E,) + x.shape[2:]), px
-        )
-        pg_f = pg.reshape((Bc * E,) + pg.shape[2:])
 
         def one(p6, pxe, pge):
             def f(q):
@@ -1277,21 +1272,24 @@ def _mb_epochwise_normal_fn(model, nband):
 
             return f(p6), jax.jacfwd(f)(p6)
 
-        r, J = jax.vmap(one)(bp_f, px_f, pg_f)  # [BE, P], [BE, P, 6]
+        # nested vmap (lanes x epochs), NOT a fold-reshape to [Bc*E]:
+        # the pixel tree is loop-invariant, and a reshape inside the
+        # while_loop body is a per-iteration copy of every pixel plane
+        # if the TPU compiler fails to hoist it
+        r, J = jax.vmap(jax.vmap(one))(
+            bpars, px, pg
+        )  # [Bc, E, P], [Bc, E, P, 6]
 
         # epoch-bad coupling (cheap re-fill; flags only, no pixels)
-        gm0, gflags = fill_fn(bp_f)
-        gm = gcore.gmix_convolve(gm0, pg_f)
+        gm0, gflags = fill_fn(bpars)
+        gm = gcore.gmix_convolve(gm0, pg)
         bad_e = (gflags != 0) | (gcore.gmix_flags(gm) != 0)
         any_bad = jnp.any(bad_e.reshape(Bc, E), axis=1)  # [Bc]
-        ab_f = jnp.broadcast_to(any_bad[:, None], (Bc, E)).reshape(-1)
-        r = jnp.where(ab_f[:, None], FDIFF_BAD, r)
-        J = jnp.where(ab_f[:, None, None], 0.0, J)
+        r = jnp.where(any_bad[:, None, None], FDIFF_BAD, r)
+        J = jnp.where(any_bad[:, None, None, None], 0.0, J)
 
         cost_e, jtr_e, jtj_e = _normal_reductions(r, J)
-        cost = cost_e.reshape(Bc, E).sum(axis=1)
-        jtr_e = jtr_e.reshape(Bc, E, start + 1)
-        jtj_e = jtj_e.reshape(Bc, E, start + 1, start + 1)
+        cost = cost_e.sum(axis=1)
         oh = (
             bnd[:, :, None] == jnp.arange(nband, dtype=bnd.dtype)
         ).astype(r.dtype)  # [Bc, E, nband]
