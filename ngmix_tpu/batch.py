@@ -1094,6 +1094,50 @@ def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
     return chunked
 
 
+def make_metacal_pipeline_mb_fn(conf: MetacalConfig, band, nband,
+                                measure="exp-lm", measure_fwhm=1.2,
+                                lm_conf=None, lm_prior=None,
+                                lm_bounds=None, max_chunk=4096):
+    """jitted multi-band pipeline closure, the mb analog of
+    make_metacal_pipeline_fn (same chunking/dispatch contract; the
+    default max_chunk is in OBJECTS, sized for E~3 epochs each).
+
+    band: [E] shared epoch->band map, or [B, E] per-object maps - a
+    2-d band map is chunked with the batch.
+    """
+    band = jnp.asarray(band, jnp.int32)
+
+    @jax.jit
+    def fn(images, weights, cens, psf_images, psf_cens, noise, band_c):
+        return metacal_pipeline_mb(
+            images, weights, cens, psf_images, psf_cens, noise,
+            band_c, nband, conf, measure=measure,
+            measure_fwhm=measure_fwhm, lm_conf=lm_conf,
+            lm_prior=lm_prior, lm_bounds=lm_bounds,
+        )
+
+    if max_chunk is None:
+        return lambda *args: fn(*args, band)
+
+    def chunked(images, weights, cens, psf_images, psf_cens, noise):
+        B = images.shape[0]
+        args = (images, weights, cens, psf_images, psf_cens, noise)
+        if B <= max_chunk:
+            return fn(*args, band)
+        parts = [
+            fn(
+                *[a[i:i + max_chunk] for a in args],
+                band if band.ndim == 1 else band[i:i + max_chunk],
+            )
+            for i in range(0, B, max_chunk)
+        ]
+        return jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts
+        )
+
+    return chunked
+
+
 def shear_response_sums(results):
     """per-type partial calibration sums {type: {"se": [2], "n": []}}.
 

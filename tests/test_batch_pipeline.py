@@ -811,3 +811,40 @@ def test_mb_epochwise_objective_matches_fused():
             np.asarray(ref[t]["s2n"]), np.asarray(new[t]["s2n"]),
             rtol=1e-8, err_msg=t,
         )
+
+
+def test_make_metacal_pipeline_mb_fn_chunks():
+    """the chunked mb closure matches per-lane results of the one-shot
+    pipeline to reduction-reassociation noise (compaction capacities
+    differ per chunk, reordering float sums at ~1e-16), incl. slicing
+    a per-object [B, E] band map"""
+    from ngmix_tpu.batch import make_metacal_pipeline_mb_fn
+
+    rng = np.random.RandomState(52)
+    B, E, nband = 8, 2, 2
+    band_be = np.tile([0, 1], (B, 1)).astype(np.int32)
+    band_be[5:] = [1, 0]
+
+    single = [_sim_batch(rng, B) for _ in range(E)]
+    args = tuple(
+        jnp.stack([s[i] for s in single], axis=1) for i in range(6)
+    )
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2,
+    )
+    ref = metacal_pipeline_mb(
+        *args, jnp.asarray(band_be), nband, conf, measure="exp-lm"
+    )
+    fn = make_metacal_pipeline_mb_fn(
+        conf, band_be, nband, measure="exp-lm", max_chunk=3
+    )
+    out = fn(*args)
+    for t in ("noshear", "2p"):
+        np.testing.assert_allclose(
+            np.asarray(ref[t]["pars"]), np.asarray(out[t]["pars"]),
+            rtol=1e-8, atol=1e-14, err_msg=t,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref[t]["flags"]), np.asarray(out[t]["flags"])
+        )

@@ -1,0 +1,13 @@
+#!/bin/bash
+set -u
+cd "$(dirname "$0")/.."
+log() { echo "[$(date +%H:%M:%S)] $*" | tee -a tools/tpu_logs/queue.log; }
+run() {
+  name=$1; shift
+  log "START $name: $*"
+  "$@" > "tools/tpu_logs/$name.log" 2>&1
+  log "END $name rc=$? ($(tail -c 300 "tools/tpu_logs/$name.log" | tr '\n' ' '))"
+}
+run sweep_mb python tools/sweep_mb_batch.py 3 2 4
+run solver_iso python tools/profile_mb_solver.py 20480 2 4
+log "SWEEP_R4 DONE"
