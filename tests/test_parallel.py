@@ -166,3 +166,55 @@ def test_sharded_mb_pipeline_matches_single_device():
         np.asarray(calib_sharded["R"]), np.asarray(calib_single["R"]),
         rtol=1e-5,
     )
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device test mesh"
+)
+def test_sharded_mb_per_object_band_maps():
+    """a [B, E] epoch->band map shards with the batch: shards whose
+    local slices carry DIFFERENT epoch->band assignments still match
+    the single-device run, and each object's per-band fluxes follow
+    its own map (swapped assignments swap the flux columns)"""
+    from ngmix_tpu.batch import metacal_pipeline_mb
+    from ngmix_tpu.parallel import make_sharded_mb_pipeline_fn
+
+    rng = np.random.RandomState(29)
+    B, E, nband = 16, 2, 2
+    flat = _sim_batch(rng, B)
+    args = tuple(jnp.repeat(a[:, None], E, axis=1) for a in flat)
+    # scale epoch images per band flux so the two flux columns differ;
+    # the first half of the batch (shards 0-3) sees [0, 1], the second
+    # half (shards 4-7) the swapped [1, 0]
+    band_be = np.tile([0, 1], (B, 1)).astype(np.int32)
+    band_be[B // 2:] = [1, 0]
+    sed = np.where(band_be == 0, 1.0, 0.6)  # band-0 flux / band-1 flux
+    args = (args[0] * sed[:, :, None, None],) + args[1:]
+
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2,
+    )
+    res_single = metacal_pipeline_mb(
+        *args, jnp.asarray(band_be), nband, conf, measure="exp-lm"
+    )
+
+    mesh = make_mesh(jax.devices()[:8])
+    fn, sharding = make_sharded_mb_pipeline_fn(
+        conf, mesh, band_be, nband, measure="exp-lm"
+    )
+    sharded_args = tuple(jax.device_put(a, sharding) for a in args)
+    res_sharded, calib = fn(*sharded_args)
+
+    pars_s = np.asarray(res_sharded["noshear"]["pars"])
+    flags = np.asarray(res_sharded["noshear"]["flags"])
+    assert (flags == 0).all()
+    np.testing.assert_allclose(
+        pars_s, np.asarray(res_single["noshear"]["pars"]),
+        rtol=1e-8, atol=1e-12,
+    )
+    # flux columns are per BAND, not per epoch: every object recovers
+    # the same (band0, band1) fluxes regardless of its epoch ordering
+    f0, f1 = pars_s[:, 5], pars_s[:, 6]
+    assert np.allclose(f1 / f0, 0.6, rtol=0.05)
+    assert np.allclose(f0[: B // 2], f0[B // 2:], rtol=0.05)
