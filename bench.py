@@ -394,10 +394,11 @@ def _probe_default_backend(timeout=150):
 def main():
     import os
 
-    # post crop-iDFT + unrolled normal equations the rate plateaus at
-    # ~33k stamps/s for B in [8192, 16384] (30.6k @6144); 10240 is the
-    # plateau's start with the shortest wall clock
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
+    # 18432 = 3 x 6144: the pipeline chunks into three identical
+    # 6144-stamp programs (the measured v5e compile-shape sweet spot,
+    # 39-41k stamps/s vs ~31k for one 8192-12288 program; see
+    # tools/ab_headline_6144.py and make_metacal_pipeline_fn)
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 18432
     nrep = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
     # Tunnel-outage resilience: if the default backend cannot run a

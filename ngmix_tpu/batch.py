@@ -1046,7 +1046,7 @@ def _lm_result_columns(out, model, nshape, nband=1, s2n_sums=None):
 def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
                              measure_fwhm=1.2, lm_conf=None,
                              lm_prior=None, lm_bounds=None,
-                             max_chunk=10240):
+                             max_chunk=6144):
     """jitted batched pipeline closure.
 
     lm_conf / lm_prior / lm_bounds pass through to the LM measures
@@ -1056,10 +1056,13 @@ def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
     max_chunk: batches larger than this are processed as successive
     sub-batches of (at most) this size inside one host call, dispatched
     asynchronously so the fixed per-dispatch latency and the compile
-    cache amortize while the working set stays below the HBM knee
-    (measured on v5e/16G at the headline 49px config with the
-    partial-iDFT fit-window crop: ~33k stamps/s flat from B=8192
-    through 16384; the pre-crop pipeline collapsed above 6144).
+    cache amortize while the working set stays below the HBM knee.
+    The 6144 default rides a measured v5e compile-shape sweet spot at
+    the headline 49px config: 39-41k stamps/s per 6144-stamp program
+    vs ~31k for single programs at 8192-12288 (same-session A/B,
+    tools/ab_headline_6144.py; chunk dispatch overhead is nil - 3
+    chunks of 6144 sustain the single-chunk rate). Batches that are
+    multiples of 6144 compile exactly one program shape.
     Chunks are dispatched before any result is fetched, so the device
     queue stays full. None disables chunking. Results are
     concatenated; per-lane outputs are identical to a single-batch run
