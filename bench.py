@@ -461,6 +461,12 @@ def main():
 
     if os.environ.get("NGMIX_BENCH_SECONDARY", "1") != "0":
         secondary = secondary_rates(args, B)
+        # free the homogeneous sims + results before building the
+        # hetero set: both resident at B=18432 exhaust the 16G chip
+        import gc
+
+        del args, res
+        gc.collect()
         # heterogeneous m-gate: the same pipeline program over varied
         # morphology (per-stamp T/flux/shape pairs, varied anisotropic
         # psfs) - the homogeneous headline sim can't catch biases that

@@ -962,7 +962,10 @@ def _auto_cascade(B):
     Geometric halving B/2, B/4, ... tracks the shrinking active set
     (measured on v5e, B=5120: 0.240s -> 0.130s for the LM stage). An
     optional 3B/4 head level (NGMIX_CASCADE34=1) gathers one iteration
-    earlier at the cost of an extra near-full-width data copy.
+    earlier at the cost of an extra near-full-width data copy —
+    measured 3% SLOWER at the headline config (same-session A/B,
+    tools/ab_cascade.py); kept env-gated for HBM-pressed shapes where
+    the earlier narrowing may pay.
     """
     caps = tuple(B // (2 ** i) for i in range(1, 8) if B // (2 ** i) >= 32)
     if os.environ.get("NGMIX_CASCADE34", "0") == "1" and 3 * B // 4 >= 32:
