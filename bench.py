@@ -5,8 +5,17 @@ round target psf from the psf stamp, build the 5-type metacal image set
 with fixnoise (10 k-space pipelines), and fit an exp model with the
 bounded LM fitter to every type - all one jitted batched program.
 
-Correctness gate: the recovered multiplicative shear bias m is computed
-from the same run and reported alongside throughput.
+Correctness gate (MECHANICAL): the recovered multiplicative shear bias
+m is computed from the same run — and from a heterogeneous-morphology
+batch through the same compiled program — and the process exits
+nonzero unless |m| < 1e-3 AND |hetero m| < 1e-3 AND n_failed is small
+(`gate_ok` in the JSON). The hetero gate runs even with
+NGMIX_BENCH_SECONDARY=0. Any change to the pipeline defaults (chunk
+size, batch, pad factor, measure config) REQUIRES a full green bench
+run at the new defaults before it ships: round 4 shipped a
+chunk-shape change validated only by throughput A/Bs and the driver's
+bench caught a silent 68x-over-gate hetero bias (see
+ngmix_tpu/fitting/lm.py run_lm_normal_batched for the root cause).
 
 Baseline: the reference publishes no throughput numbers; its metacal
 example docstring reports "about a minute" for 1000 trials of the
@@ -394,11 +403,12 @@ def _probe_default_backend(timeout=150):
 def main():
     import os
 
-    # 18432 = 3 x 6144: the pipeline chunks into three identical
-    # 6144-stamp programs (the measured v5e compile-shape sweet spot,
-    # 39-41k stamps/s vs ~31k for one 8192-12288 program; see
-    # tools/ab_headline_6144.py and make_metacal_pipeline_fn)
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 18432
+    # 20480 = 2 x 10240: the pipeline chunks into two identical
+    # programs at the largest |m|-VALIDATED shape (full gate green at
+    # B=10240). Round 4's 6144-chunk default was retuned on throughput
+    # alone and turned out to be an XLA wrong-code artifact (the LM
+    # froze at its guess) - see make_metacal_pipeline_fn's docstring.
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 20480
     nrep = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
     # Tunnel-outage resilience: if the default backend cannot run a
@@ -439,48 +449,78 @@ def main():
     )
     fn = make_metacal_pipeline_fn(conf, measure="exp-lm")
 
-    def run_once():
-        res = fn(*args)
+    def run_once(a):
+        res = fn(*a)
         # fetch a scalar: block_until_ready alone does not force
         # execution on remote-tunnel backends
         float(jnp.sum(res["noshear"]["pars"]))
         return res
 
     # compile
-    res = run_once()
+    res = run_once(args)
 
     t0 = time.time()
     for _ in range(nrep):
-        res = run_once()
+        res = run_once(args)
     per = (time.time() - t0) / nrep
     stamps_per_sec = B / per
 
     sr = shear_response(res)
     m = float(sr["shear"][0]) / SHEAR_TRUE - 1.0
     nbad = int(np.sum(np.asarray(res["noshear"]["flags"]) != 0))
+    # derived-column consistency: e1 IS pars[:, 2] in the program, so
+    # any mismatch in the fetched arrays is compiled-program corruption
+    # (one observed wrong-code mode at the cursed 6144 shape corrupted
+    # only the derived columns while pars stayed correct - see
+    # fitting/lm.py's wrong-code history note). Free to check here.
+    cols_ok = bool(
+        np.array_equal(
+            np.asarray(res["noshear"]["e1"]),
+            np.asarray(res["noshear"]["pars"][:, 2]),
+        )
+    )
+
+    # keep only the small slice the secondary configs need, then free
+    # the full homogeneous set: sims + results + the hetero set all
+    # resident at B=18432 exhaust the 16G chip (round-4 bench OOM)
+    import gc
+
+    Bsec = min(B, 2048)
+    sec_args = tuple(a[:Bsec] for a in args)
+    args = res = None
+    gc.collect()
+
+    # heterogeneous m-gate, computed UNCONDITIONALLY: the same pipeline
+    # program over varied morphology (per-stamp T/flux/shape pairs,
+    # varied anisotropic psfs) - the homogeneous headline sim can't
+    # catch biases that only appear off the single-object operating
+    # point, and round 4 shipped a 68x-over-gate hetero bias because
+    # this check lived inside the skippable secondary block
+    het_args = jax.block_until_ready(
+        make_sim_batch_hetero(jax.random.PRNGKey(271), B)
+    )
+    het_sr = shear_response(fn(*het_args))
+    het_m = float(het_sr["shear"][0]) / SHEAR_TRUE - 1.0
+    het_args = het_sr = None
+    gc.collect()
 
     if os.environ.get("NGMIX_BENCH_SECONDARY", "1") != "0":
-        secondary = secondary_rates(args, B)
-        # free the homogeneous sims + results before building the
-        # hetero set: both resident at B=18432 exhaust the 16G chip
-        import gc
-
-        del args, res
-        gc.collect()
-        # heterogeneous m-gate: the same pipeline program over varied
-        # morphology (per-stamp T/flux/shape pairs, varied anisotropic
-        # psfs) - the homogeneous headline sim can't catch biases that
-        # only appear off the single-object operating point
-        het_args = jax.block_until_ready(
-            make_sim_batch_hetero(jax.random.PRNGKey(271), B)
-        )
-        het_res = fn(*het_args)
-        het_sr = shear_response(het_res)
-        secondary["hetero_shear_bias_m"] = float(
-            "%.3e" % (float(het_sr["shear"][0]) / SHEAR_TRUE - 1.0)
-        )
+        secondary = secondary_rates(sec_args, Bsec)
     else:
         secondary = {}
+    secondary["hetero_shear_bias_m"] = float("%.3e" % het_m)
+
+    # mechanical correctness gate (|m| ~ 3-5e-4 is the reference's
+    # method-intrinsic level, ngmix/tests/test_metacal_accuracy.py:77;
+    # >1e-3 means a real regression). A throughput number with a
+    # failing gate is not a result: rc=1 so no driver/CI records it
+    # as a success (BENCH_r04.json did exactly that).
+    gate_ok = (
+        abs(m) < 1.0e-3
+        and abs(het_m) < 1.0e-3
+        and nbad <= max(8, int(0.005 * B))
+        and cols_ok
+    )
 
     out = {
         "metric": "metacal_exp_lm_stamps_per_sec_per_chip",
@@ -494,6 +534,7 @@ def main():
             "sec_per_batch": round(per, 4),
             "shear_bias_m": float(f"{m:.3e}"),
             "n_failed": nbad,
+            "gate_ok": gate_ok,
             "backend": jax.default_backend(),
             "note": "vs_baseline is relative to 50x ngmix single-core "
                     "(~16.7 stamps/s); >=1 meets the north-star target",
@@ -508,6 +549,14 @@ def main():
             "CLAUDE.md. " + out["extra"]["note"]
         )
     print(json.dumps(out))
+    if not gate_ok:
+        print(
+            f"# GATE FAILED: m={m:.3e} hetero_m={het_m:.3e} "
+            f"n_failed={nbad} cols_ok={cols_ok} "
+            f"(gate: |m|<1e-3, |hetero m|<1e-3, derived cols intact)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

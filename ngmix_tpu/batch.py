@@ -1049,7 +1049,7 @@ def _lm_result_columns(out, model, nshape, nband=1, s2n_sums=None):
 def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
                              measure_fwhm=1.2, lm_conf=None,
                              lm_prior=None, lm_bounds=None,
-                             max_chunk=6144):
+                             max_chunk=10240, inflight=2):
     """jitted batched pipeline closure.
 
     lm_conf / lm_prior / lm_bounds pass through to the LM measures
@@ -1057,20 +1057,32 @@ def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
     prior-regularized and bounded.
 
     max_chunk: batches larger than this are processed as successive
-    sub-batches of (at most) this size inside one host call, dispatched
-    asynchronously so the fixed per-dispatch latency and the compile
-    cache amortize while the working set stays below the HBM knee.
-    The 6144 default rides a measured v5e compile-shape sweet spot at
-    the headline 49px config: 39-41k stamps/s per 6144-stamp program
-    vs ~31k for single programs at 8192-12288 (same-session A/B,
-    tools/ab_headline_6144.py; chunk dispatch overhead is nil - 3
-    chunks of 6144 sustain the single-chunk rate). Batches that are
-    multiples of 6144 compile exactly one program shape.
-    Chunks are dispatched before any result is fetched, so the device
-    queue stays full. None disables chunking. Results are
-    concatenated; per-lane outputs are identical to a single-batch run
-    except for LM straggler-compaction capacities, which scale with
-    the chunk size (compaction never changes per-lane results).
+    sub-batches of (at most) this size inside one host call, so the
+    fixed per-dispatch latency and the compile cache amortize while
+    the working set stays below the HBM knee; batches that are
+    multiples of max_chunk compile exactly one program shape. None
+    disables chunking. Results are concatenated; per-lane outputs are
+    identical to a single-batch run except for LM straggler-compaction
+    capacities, which scale with the chunk size (compaction never
+    changes per-lane results).
+
+    The 10240 default is the largest |m|-validated program shape
+    (full bench gate green at B=10240: m=3.9e-4, hetero 4.0e-4).
+    CAUTION on retuning: round 4's throughput sweep found a "39-41k
+    stamps/s sweet spot" at exactly 6144 (vs ~31k at 8192-12288) that
+    turned out to be an XLA TPU wrong-code artifact - the compiled LM
+    froze ~every lane at its starting guess after one iteration, so
+    the program was fast because it wasn't fitting, and three
+    different restructurings of the solver all miscompiled (in
+    different ways) at that one shape — see run_lm_normal_batched's
+    wrong-code history note. Any chunk-size retune must be validated
+    by a full `python bench.py` gate run (|m| AND |hetero m| < 1e-3)
+    at the new shape, never by throughput alone.
+
+    inflight: at most this many chunk programs are dispatched ahead of
+    the oldest unfetched one (2 keeps the device queue busy while
+    bounding the live input-copy + output working set; round 4's
+    unbounded dispatch OOMed 16G HBM at B=18432).
     """
 
     @jax.jit
@@ -1089,10 +1101,11 @@ def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
         if B <= max_chunk:
             return fn(images, weights, cens, psf_images, psf_cens, noise)
         args = (images, weights, cens, psf_images, psf_cens, noise)
-        parts = [
-            fn(*[a[i:i + max_chunk] for a in args])
-            for i in range(0, B, max_chunk)
-        ]
+        parts = []
+        for j, i in enumerate(range(0, B, max_chunk)):
+            if j >= inflight:
+                _sync_result(parts[j - inflight])
+            parts.append(fn(*[a[i:i + max_chunk] for a in args]))
         return jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=0), *parts
         )
@@ -1100,16 +1113,32 @@ def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
     return chunked
 
 
+def _sync_result(part):
+    """block until a dispatched chunk's program has executed, bounding
+    the number of in-flight chunk programs (and so the live input-copy
+    + output working set) without draining the device queue: the next
+    chunk is already queued while this one is fetched. A scalar fetch,
+    not block_until_ready - the latter does not reliably block on
+    remote-tunnel backends."""
+    float(jnp.sum(jax.tree.leaves(part)[0]))
+
+
 def make_metacal_pipeline_mb_fn(conf: MetacalConfig, band, nband,
                                 measure="exp-lm", measure_fwhm=1.2,
                                 lm_conf=None, lm_prior=None,
-                                lm_bounds=None, max_chunk=4096):
+                                lm_bounds=None, max_chunk=4096,
+                                inflight=2, objective="auto"):
     """jitted multi-band pipeline closure, the mb analog of
-    make_metacal_pipeline_fn (same chunking/dispatch contract; the
-    default max_chunk is in OBJECTS, sized for E~3 epochs each).
+    make_metacal_pipeline_fn (same chunking/dispatch/inflight
+    contract; the default max_chunk is in OBJECTS, sized for E~3
+    epochs each).
 
     band: [E] shared epoch->band map, or [B, E] per-object maps - a
     2-d band map is chunked with the batch.
+
+    objective ("auto"/"epoch"/"fused"): see metacal_pipeline_mb. Under
+    "auto" the pick is made per PROGRAM shape, i.e. from the chunk
+    size, which is what actually compiles.
     """
     band = jnp.asarray(band, jnp.int32)
 
@@ -1119,7 +1148,7 @@ def make_metacal_pipeline_mb_fn(conf: MetacalConfig, band, nband,
             images, weights, cens, psf_images, psf_cens, noise,
             band_c, nband, conf, measure=measure,
             measure_fwhm=measure_fwhm, lm_conf=lm_conf,
-            lm_prior=lm_prior, lm_bounds=lm_bounds,
+            lm_prior=lm_prior, lm_bounds=lm_bounds, objective=objective,
         )
 
     if max_chunk is None:
@@ -1130,13 +1159,14 @@ def make_metacal_pipeline_mb_fn(conf: MetacalConfig, band, nband,
         args = (images, weights, cens, psf_images, psf_cens, noise)
         if B <= max_chunk:
             return fn(*args, band)
-        parts = [
-            fn(
+        parts = []
+        for j, i in enumerate(range(0, B, max_chunk)):
+            if j >= inflight:
+                _sync_result(parts[j - inflight])
+            parts.append(fn(
                 *[a[i:i + max_chunk] for a in args],
                 band if band.ndim == 1 else band[i:i + max_chunk],
-            )
-            for i in range(0, B, max_chunk)
-        ]
+            ))
         return jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=0), *parts
         )
@@ -1328,7 +1358,7 @@ def _mb_epochwise_normal_fn(model, nband):
         # if the TPU compiler fails to hoist it
         r, J = jax.vmap(jax.vmap(one))(
             bpars, px, pg
-        )  # [Bc, E, P], [Bc, E, P, 6]
+        )  # [Bc, E, P], [Bc, E, P, start+1] (bdf/bd carry extra cols)
 
         # epoch-bad coupling (cheap re-fill; flags only, no pixels)
         gm0, gflags = fill_fn(bpars)
@@ -1372,7 +1402,7 @@ def _mb_epochwise_normal_fn(model, nband):
 def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
                         band, nband, conf: MetacalConfig, lm_conf=None,
                         measure="exp-lm", measure_fwhm=1.2,
-                        lm_prior=None, lm_bounds=None):
+                        lm_prior=None, lm_bounds=None, objective="auto"):
     """metacal + multi-band multi-epoch measurement (MEDS-style).
 
     images [B, E, H, W] with E epochs per object spanning ``nband``
@@ -1406,6 +1436,17 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
     weight (ierr=0 -> zero residual rows and zero normal-equation
     contributions) and a copied valid psf stamp so the k-space engine
     stays finite; see ngmix_tpu.ragged for the packing utility.
+
+    objective: LM normal-equation formulation - "epoch" (nested vmap
+    over epochs, hoists per-epoch constants), "fused" (one jacfwd over
+    the full [E, P] residual tensor, the reference-shaped objective
+    kept as the parity oracle), or "auto" (default): both are
+    per-lane identical; which is faster flips with the stacked batch
+    size (measured same-session on v5e: at B=2048/E=3/nband=2 epoch is
+    1.46x SLOWER than fused, at B=4096 it is 8% faster -
+    tools/tpu_logs/ab_mb_e3b2.log, ab_mb_b4096.log). "auto" picks
+    epoch above ~40k stacked epoch-lanes (T*B*E) and fused below, the
+    measured crossover's midpoint.
     """
     from .fitting.fit_model import FitData, make_fdiff_fn, make_lnprob_fn
 
@@ -1601,7 +1642,10 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
             hi = jnp.asarray(lm_bounds[1], dtype)
             guess = _clamp_guess_in_bounds(guess, lo, hi)
 
-        if os.environ.get("NGMIX_MB_OBJECTIVE", "epoch") == "fused":
+        if objective == "auto":
+            # measured crossover: see the docstring's cited A/B logs
+            objective = "epoch" if T * B * E > 40960 else "fused"
+        if objective == "fused":
             # reference-shaped objective: one jacfwd over the full
             # global parameter vector (kept for A/B and as the oracle
             # for the epochwise path's parity test)
@@ -1617,8 +1661,13 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
 
                 r, J = jax.vmap(one)(pars, d)
                 return _normal_reductions(r, J)
-        else:
+        elif objective == "epoch":
             mb_normal_fn = _mb_epochwise_normal_fn(model, nband)
+        else:
+            raise ValueError(
+                "objective must be 'auto', 'epoch' or 'fused'; got %r"
+                % (objective,)
+            )
 
         nres = jnp.sum(pixels.ierr > 0, axis=(-2, -1))
         caps = _auto_cascade(T * B)

@@ -345,92 +345,88 @@ class CoellipFitModel(FitModel):
         return np.asarray(pars).copy()
 
 
+def _as_obs_list(obs):
+    """wrap a bare Observation in a one-epoch ObsList; pass an ObsList
+    through; reject anything else"""
+    if isinstance(obs, ObsList):
+        return obs
+    if isinstance(obs, Observation):
+        wrapped = ObsList()
+        wrapped.append(obs)
+        return wrapped
+    raise ValueError(
+        "PSFFluxFitModel takes an Observation or an ObsList, got %s"
+        % type(obs).__name__
+    )
+
+
 class PSFFluxFitModel(dict):
     """template/psf flux via zero-lag cross correlation
-    (ref: results.py:677-905)"""
+    (ref: results.py:677-905).
+
+    Each epoch contributes one template — a gaussian mixture rendered
+    on demand, or a raw template image — held in ``self._templates``
+    with a per-epoch flux norm in ``self._norms`` that converts the
+    cross-correlation amplitude into a flux. The template source
+    (``self._mode``: "gmix" or "image") is decided once, from the
+    first epoch.
+    """
 
     def __init__(self, obs, do_psf=True, normalize_psf=True):
         self.do_psf = do_psf
         self.normalize_psf = normalize_psf
         self["model"] = "template"
         self.npars = 1
-        self._set_obs(obs)
 
-    def _set_obs(self, obs_in):
-        if isinstance(obs_in, Observation):
-            obs_list = ObsList()
-            obs_list.append(obs_in)
-        elif isinstance(obs_in, ObsList):
-            obs_list = obs_in
+        self.obs = _as_obs_list(obs)
+        lead = self.obs[0].psf if do_psf else self.obs[0]
+        if lead.has_gmix():
+            self._mode = "gmix"
+        elif hasattr(lead, "template"):
+            self._mode = "image"
         else:
-            raise ValueError("obs should be Observation or ObsList")
-
-        tobs = obs_list[0]
-        if self.do_psf:
-            tobs = tobs.psf
-
-        if not tobs.has_gmix():
-            if not hasattr(tobs, "template"):
-                raise ValueError("neither gmix or template image are set")
-
-        self.obs = obs_list
-        if tobs.has_gmix():
-            self._set_gmix_and_norms()
-        else:
-            self._set_templates_and_norms()
-
+            raise ValueError(
+                "PSFFluxFitModel: the %s carries neither a gmix nor a "
+                "template image to correlate against"
+                % ("psf observation" if do_psf else "observation")
+            )
+        specs = [self._make_template(o) for o in self.obs]
+        self._templates = [t for t, _ in specs]
+        self._norms = [n for _, n in specs]
         self.totpix = sum(o.pixels.val.shape[-1] for o in self.obs)
 
-    def _set_gmix_and_norms(self):
-        self.use_template = False
-        self.gmix_list = []
-        self.norm_list = []
-        for obs in self.obs:
-            if self.do_psf:
-                g = obs.get_psf_gmix()
-                if self.normalize_psf:
-                    g.set_flux(1.0)
-            else:
-                g = obs.get_gmix()
-                g.set_flux(1.0)
-            self.gmix_list.append(g)
-            self.norm_list.append(g.get_flux())
-
-    def _set_templates_and_norms(self):
-        self.use_template = True
-        self.template_list = []
-        self.norm_list = []
-        for obs in self.obs:
-            if self.do_psf:
-                template = obs.psf.template.copy()
-                norm = template.sum()
-                if self.normalize_psf:
-                    template *= 1.0 / norm
-                    norm = 1.0
-            else:
-                template = obs.template.copy()
-                template *= 1.0 / template.sum()
-                norm = 1.0
-            self.template_list.append(template)
-            self.norm_list.append(norm)
+    def _make_template(self, obs):
+        """one epoch's (template, flux norm). Templates are unit-flux
+        except a psf gmix/image kept at its native flux when
+        normalize_psf=False — there the norm carries that flux so the
+        fitted flux stays in template units either way."""
+        if self._mode == "gmix":
+            gm = obs.get_psf_gmix() if self.do_psf else obs.get_gmix()
+            if self.normalize_psf or not self.do_psf:
+                gm.set_flux(1.0)
+            return gm, gm.get_flux()
+        src = obs.psf if self.do_psf else obs
+        im = np.array(src.template, dtype="f8", copy=True)
+        total = im.sum()
+        if self.do_psf and not self.normalize_psf:
+            return im, total
+        return im / total, 1.0
 
     def _get_model(self, iobs, flux=None):
-        if self.use_template:
-            if flux is not None:
-                model = self.template_list[iobs].copy()
-                norm = self.norm_list[iobs]
-                model *= (norm * flux) / model.sum()
-            else:
-                model = self.template_list[iobs]
-        else:
+        """render epoch iobs's template; flux=None leaves it at the
+        stored normalization (pass 1 of go), otherwise scale to the
+        requested flux (pass 2)"""
+        tmpl = self._templates[iobs]
+        if self._mode == "image":
             if flux is None:
-                gm = self.gmix_list[iobs]
-            else:
-                gm = self.gmix_list[iobs].copy()
-                gm.set_flux(flux * self.norm_list[iobs])
-            obs = self.obs[iobs]
-            model = gm.make_image(obs.image.shape, jacobian=obs.jacobian)
-        return model
+                return tmpl
+            return tmpl * (self._norms[iobs] * flux / tmpl.sum())
+        gm = tmpl
+        if flux is not None:
+            gm = gm.copy()
+            gm.set_flux(flux * self._norms[iobs])
+        obs = self.obs[iobs]
+        return gm.make_image(obs.image.shape, jacobian=obs.jacobian)
 
     def go(self):
         flags = 0

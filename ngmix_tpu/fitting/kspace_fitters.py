@@ -563,11 +563,11 @@ class _TemplateFluxFitModel(PSFFluxFitModel):
         else:
             obs_list = obs
         self.obs = obs_list
-        self.use_template = True
-        self.template_list = [
+        self._mode = "image"
+        self._templates = [
             np.asarray(t) / np.asarray(t).sum() for t in templates
         ]
-        self.norm_list = [1.0] * len(self.template_list)
+        self._norms = [1.0] * len(self._templates)
         self.totpix = sum(o.pixels.val.shape[-1] for o in self.obs)
 
 

@@ -38,6 +38,7 @@ from ..flags import (
     LM_NEG_COV_EIG,
     LM_SINGULAR_MATRIX,
     MAXITER,
+    SOLVER_INCOMPLETE,
     ZERO_DOF,
 )
 
@@ -561,6 +562,27 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
     lo = jnp.asarray(lo, dtype)
     hi = jnp.asarray(hi, dtype)
 
+    # WRONG-CODE HISTORY (do not re-tune batch shapes without reading
+    # this): at the B=6144 metacal-pipeline chunk shape (30720 stacked
+    # lanes fused with the k-space stage) the XLA TPU compiler
+    # miscompiled this solver THREE different ways across round 5's
+    # attempts (tools/diag_6144.py / diag_lm.py): (1) as shipped in
+    # round 4, the fused initial eval_normal returned Jtr0 ~ 0, so
+    # iteration 1 took a zero step whose correctly-computed in-loop
+    # cost marginally beat the corrupted cost0, fired small_step, and
+    # froze 6123/6144 lanes bitwise AT the moments guess with nfev=2
+    # and flags=0 (BENCH_r04 m=-2.8e-3, hetero m=-2.7e-2, R11=0.24);
+    # (2) carrying the cascade count through the loop state compiled
+    # to the bit-identical wrong program; (3) an optimization_barrier
+    # on (guess, data) fixed the solve (pars matched CPU to 4e-4,
+    # R11=0.9996) but the compiled program then corrupted the DERIVED
+    # e1/e2 result columns on every lane (m=+3.2). The isolated solver
+    # at the same 30720-lane shape is correct, as is every validated
+    # shape (2048-chunk, 10240 single program). Conclusion: the 6144
+    # chunk shape is wrong-code territory on current XLA-TPU; the
+    # defaults pin validated shapes and bench.py gates |m| at the
+    # shipped shape, so this code stays IDENTICAL to the m-green
+    # round-4 program.
     if prior_fn is not None:
         prior_rows_batch = jax.vmap(prior_fn)
         prior_jac_batch = jax.vmap(jax.jacfwd(prior_fn))
@@ -793,6 +815,16 @@ def _normal_epilogue(out, lo, hi, conf, nres, k_space):
 
     flags = jnp.zeros((B,), jnp.int32)
     izero = jnp.int32(0)
+    # wrong-code tripwire: the solver loops until every lane is done
+    # or at maxfev, so a lane that is neither means the compiled loop
+    # itself exited early (see flags.SOLVER_INCOMPLETE). Cheap
+    # insurance only - the round-4 miscompile set `done` legitimately
+    # from corrupted inputs and would NOT trip this; the mechanical
+    # defense against that class is bench.py's |m| gate at the shipped
+    # program shapes.
+    flags = flags | jnp.where(
+        ~out["done"] & ~maxed, SOLVER_INCOMPLETE, izero
+    )
     flags = flags | jnp.where(func_notfinite, LM_FUNC_NOTFINITE, izero)
     flags = flags | jnp.where(
         singular & ~func_notfinite, LM_SINGULAR_MATRIX, izero

@@ -26,6 +26,16 @@ EIG_NOTFINITE = 2**13
 DIV_ZERO = 2**14
 ZERO_DOF = 2**15
 
+# TPU-new: a batched iterative solver returned a lane that is neither
+# converged nor at maxfev. Semantically impossible — the driver loops
+# until every lane is one or the other — so this bit firing means the
+# compiled loop exited early: one possible manifestation of the XLA
+# TPU wrong-code family documented in fitting/lm.py
+# run_lm_normal_batched. Cheap insurance; the primary defense is the
+# bench |m| gate at shipped program shapes (the round-4 miscompile
+# set `done` from corrupted inputs and would not trip this bit).
+SOLVER_INCOMPLETE = 2**16
+
 # aliases kept for API compatibility
 EM_RANGE_ERROR = GMIX_RANGE_ERROR
 EM_MAXITER = MAXITER
@@ -48,6 +58,8 @@ NAME_MAP = {
     EIG_NOTFINITE: "eigenvalues of covariance cannot be found in LM",
     DIV_ZERO: "divide by zero",
     ZERO_DOF: "degrees of freedom for it is zero (no chi^2/dof possible)",
+    SOLVER_INCOMPLETE: "solver loop exited with unconverged lanes "
+                       "(compiled-loop early exit; wrong-code tripwire)",
 }
 
 

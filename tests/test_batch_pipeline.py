@@ -764,7 +764,6 @@ def test_mb_epochwise_objective_matches_fused():
     global-jacfwd objective on a heterogeneous E=3/nband=2 fit with a
     per-object band map, prior rows and bounds - same solver, same
     stopping rules, so pars agree to reduction-reassociation noise"""
-    import os
 
     rng = np.random.RandomState(51)
     B, E, nband = 8, 3, 2
@@ -786,18 +785,15 @@ def test_mb_epochwise_objective_matches_fused():
         fixnoise=True, pad_factor=2,
     )
 
-    def run():
+    def run(objective):
         return metacal_pipeline_mb(
             *args, jnp.asarray(band_be), nband, conf,
             measure="gauss-lm", lm_prior=prior, lm_bounds=bounds,
+            objective=objective,
         )
 
-    os.environ["NGMIX_MB_OBJECTIVE"] = "fused"
-    try:
-        ref = run()
-    finally:
-        os.environ.pop("NGMIX_MB_OBJECTIVE")
-    new = run()
+    ref = run("fused")
+    new = run("epoch")
 
     for t in ("noshear", "1p", "2m"):
         np.testing.assert_array_equal(
@@ -847,4 +843,36 @@ def test_make_metacal_pipeline_mb_fn_chunks():
         )
         np.testing.assert_array_equal(
             np.asarray(ref[t]["flags"]), np.asarray(out[t]["flags"])
+        )
+
+
+def test_make_metacal_pipeline_fn_chunks():
+    """the FLAT chunked closure (the headline bench path) matches the
+    one-shot pipeline per-lane, with the in-flight dispatch cap
+    engaged. Tolerance is reduction-reassociation noise: different
+    program widths tile the normal-equation reductions differently
+    (compaction itself is order-preserving). Round 4 shipped a chunk
+    default with no such equivalence check anywhere."""
+    rng = np.random.RandomState(53)
+    args = _sim_batch(rng, 10)
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+    )
+    ref = metacal_pipeline(*args, conf, measure="exp-lm")
+    fn = make_metacal_pipeline_fn(
+        conf, measure="exp-lm", max_chunk=3, inflight=2
+    )
+    out = fn(*args)
+    for t in ("noshear", "1p", "2m"):
+        np.testing.assert_array_equal(
+            np.asarray(ref[t]["flags"]), np.asarray(out[t]["flags"]), t
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref[t]["pars"]), np.asarray(out[t]["pars"]),
+            rtol=1e-5, atol=1e-10, err_msg=t,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref[t]["s2n"]), np.asarray(out[t]["s2n"]),
+            rtol=1e-5, err_msg=t,
         )

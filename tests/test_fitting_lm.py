@@ -534,3 +534,111 @@ def test_lm_singular_jacobian_flagged():
     assert fl[0] & nf.LM_SINGULAR_MATRIX
     assert fl[1] == 0
     assert np.all(np.isfinite(np.asarray(outb["pars_cov"][1])))
+
+
+def test_pinned_dims_pins_saturated_outward_dim():
+    """the active-set mask pins a dim only when all three conditions
+    hold: saturated against a finite bound, gradient pointing further
+    outward, and linear improvement potential below the ftol stopping
+    resolution (fitting/lm.py _pinned_dims)"""
+    from ngmix_tpu.fitting.lm import _pinned_dims, e2i, i2e_grad
+
+    lo = jnp.asarray([-1.0, -1.0])
+    hi = jnp.asarray([1.0, 1.0])
+    ftol = 1.0e-5
+    x = jnp.asarray([[1.0 - 1.0e-6, 0.0]])  # dim0 saturated at hi
+    y = e2i(x, lo, hi)
+    g = i2e_grad(y, lo, hi)
+    # external gradient +2 on dim0: descent pushes toward hi (outward);
+    # available improvement 2*|grad_ext|*d_out = 4e-6 < ftol*cost
+    Jtr = jnp.asarray([[-2.0, 0.0]]) * g
+    cost = jnp.asarray([1.0])
+    pinned = _pinned_dims(y, Jtr, cost, ftol, lo, hi)
+    assert bool(pinned[0, 0]) and not bool(pinned[0, 1])
+
+    # same geometry, gradient flipped INWARD: must not pin (this is
+    # exactly the release path - the mask is recomputed per iteration)
+    pinned_in = _pinned_dims(y, -Jtr, cost, ftol, lo, hi)
+    assert not bool(pinned_in[0, 0])
+
+    # improvement potential above the ftol resolution: stays free even
+    # though saturated and outward (the dim still matters)
+    pinned_big = _pinned_dims(y, Jtr, jnp.asarray([1.0e-3]), ftol, lo, hi)
+    assert not bool(pinned_big[0, 0])
+
+
+def test_pinned_dims_proximity_gate_interior_high_cost():
+    """an interior dim with transiently tiny gradient at huge cost must
+    NOT pin: without the |y| >= ln(1e4) proximity gate the
+    available < ftol*cost test alone would freeze it (documented
+    failure mode in _pinned_dims's docstring)"""
+    from ngmix_tpu.fitting.lm import _pinned_dims, e2i, i2e_grad
+
+    lo = jnp.asarray([-0.99, -0.99])
+    hi = jnp.asarray([0.99, 0.99])
+    x = jnp.asarray([[0.0, 0.0]])  # dead center
+    y = e2i(x, lo, hi)
+    g = i2e_grad(y, lo, hi)
+    Jtr = jnp.asarray([[1.0e-9, 1.0e-9]]) * g  # transiently flat
+    cost = jnp.asarray([1.0e5])  # early-fit cost scale
+    pinned = _pinned_dims(y, Jtr, cost, 1.0e-5, lo, hi)
+    assert not bool(pinned.any())
+
+
+def test_lm_pin_then_release_end_to_end():
+    """a dim that saturates (and pins) early in the fit must release
+    and move to its interior optimum once the other dim converges and
+    the gradient flips inward: r = [10*(b-5), a+b-5.5], a in [-1,1],
+    started hard against hi with b far away. A permanently-frozen `a`
+    would strand at (1, ~5) with cost ~0.25; the recomputed-per-
+    iteration mask lets it finish at the true optimum (0.5, 5)."""
+
+    def resid(pars, data):
+        a, b = pars
+        # third row is identically zero: it only buys a nonzero dof so
+        # the chi^2/dof covariance path doesn't flag ZERO_DOF
+        return jnp.array([10.0 * (b - 5.0), a + b - 5.5, 0.0 * a])
+
+    lo = jnp.array([-1.0, -jnp.inf])
+    hi = jnp.array([1.0, jnp.inf])
+    out = run_lm(
+        resid, {}, jnp.array([1.0 - 1.0e-6, 2.0]), lo, hi,
+        LMConf(maxfev=500),
+    )
+    assert int(out["flags"]) == 0
+    pars = np.asarray(out["pars"])
+    assert np.allclose(pars, [0.5, 5.0], atol=1e-4), pars
+    assert float(out["cost"]) < 1e-8
+
+
+def test_normal_epilogue_incomplete_tripwire():
+    """a solver state with lanes neither converged nor at maxfev is
+    semantically impossible from a correctly-compiled driver loop -
+    the epilogue must flag such lanes SOLVER_INCOMPLETE (a wrong-code
+    tripwire; see run_lm_normal_batched's wrong-code history note)"""
+    from ngmix_tpu.fitting.lm import LMConf, _normal_epilogue
+    from ngmix_tpu.flags import SOLVER_INCOMPLETE
+
+    B, npars = 4, 2
+    eye = jnp.broadcast_to(jnp.eye(npars), (B, npars, npars))
+    out = {
+        "y": jnp.zeros((B, npars)),
+        "cost": jnp.ones((B,)),
+        "cost_pix": jnp.ones((B,)),
+        "JtJ": eye,
+        "nfev": jnp.asarray([2, 2, 4000, 7], jnp.int32),
+        "done": jnp.asarray([False, True, False, True]),
+        "ier_small_step": jnp.zeros((B,), bool),
+        "ier_small_cost": jnp.asarray([False, True, False, True]),
+    }
+    lo = jnp.full((npars,), -jnp.inf)
+    hi = jnp.full((npars,), jnp.inf)
+    res = _normal_epilogue(out, lo, hi, LMConf(), nres=jnp.full((B,), 50), k_space=False)
+    flags = np.asarray(res["flags"])
+    # lane 0: frozen mid-solve -> tripwire; lane 2: at maxfev -> MAXITER
+    # path, not the tripwire; lanes 1/3: clean
+    assert flags[0] & SOLVER_INCOMPLETE
+    assert not (flags[1] & SOLVER_INCOMPLETE)
+    assert not (flags[2] & SOLVER_INCOMPLETE)
+    assert flags[2] != 0  # maxed lane is still flagged (MAXITER)
+    assert not (flags[3] & SOLVER_INCOMPLETE)

@@ -1,14 +1,13 @@
 """Same-session A/B: fused global-jacfwd mb objective vs the
 per-epoch-jacobian objective (batch._mb_epochwise_normal_fn).
 
-NGMIX_MB_OBJECTIVE is read at TRACE time, so tracing each variant in
+The objective is a trace-time keyword, so tracing each variant in
 one process gives two programs over identical data; interleaved reps
 cancel tunnel drift. Also times the flat pipeline on the folded
 epochs as the per-epoch-stamp ceiling.
 
 Run on the TPU: python tools/ab_mb_objective.py [B] [E] [nband] [reps]
 """
-import os
 import sys
 import time
 
@@ -50,17 +49,18 @@ def main():
 
     flat = jax.jit(lambda *a: metacal_pipeline(*a, conf, measure="exp-lm"))
 
-    os.environ["NGMIX_MB_OBJECTIVE"] = "fused"
     mb_a = jax.jit(
-        lambda *a: metacal_pipeline_mb(*a, band, nband, conf, measure="exp-lm")
+        lambda *a: metacal_pipeline_mb(
+            *a, band, nband, conf, measure="exp-lm", objective="fused"
+        )
     )
-    fetch(mb_a(*mb_args))  # trace+compile under 'fused'
-    os.environ["NGMIX_MB_OBJECTIVE"] = "epoch"
+    fetch(mb_a(*mb_args))
     mb_b = jax.jit(
-        lambda *a: metacal_pipeline_mb(*a, band, nband, conf, measure="exp-lm")
+        lambda *a: metacal_pipeline_mb(
+            *a, band, nband, conf, measure="exp-lm", objective="epoch"
+        )
     )
     fetch(mb_b(*mb_args))
-    os.environ.pop("NGMIX_MB_OBJECTIVE")
     fetch(flat(*flat_args))
 
     ta = tb = tf = 0.0
