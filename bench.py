@@ -95,7 +95,8 @@ def make_sim_batch(key, B, dtype=jnp.float32):
 def make_sim_batch_hetero(key, B, dtype=jnp.float32,
                           jac=(SCALE, 0.0, 0.0, SCALE),
                           shear=(SHEAR_TRUE, 0.0), nepoch=None,
-                          gint_max=0.3, gal_model="exp", nband=None):
+                          gint_max=0.3, gal_model="exp", nband=None,
+                          noise=NOISE):
     """heterogeneous sim batch: per-stamp size/flux/intrinsic shape and
     per-stamp psf shape/size variation, rendered under an arbitrary
     shared WCS (pass a non-diagonal ``jac`` for the sheared-WCS
@@ -214,9 +215,9 @@ def make_sim_batch_hetero(key, B, dtype=jnp.float32,
             clean_e = clean_e * sed[:, band][:, :, None, None]
         imgs = clean_e + jax.random.normal(
             kn, (B, E) + DIMS, dtype
-        ) * NOISE
-        weights = jnp.full((B, E) + DIMS, 1.0 / NOISE**2, dtype)
-        noise_field = jax.random.normal(knz, (B, E) + DIMS, dtype) * NOISE
+        ) * noise
+        weights = jnp.full((B, E) + DIMS, 1.0 / noise**2, dtype)
+        noise_field = jax.random.normal(knz, (B, E) + DIMS, dtype) * noise
         return (
             imgs, weights,
             jnp.broadcast_to(cens[:, None], (B, E, 2)),
@@ -225,9 +226,9 @@ def make_sim_batch_hetero(key, B, dtype=jnp.float32,
             noise_field,
         )
 
-    imgs = clean + jax.random.normal(kn, clean.shape, dtype) * NOISE
-    weights = jnp.full((B,) + DIMS, 1.0 / NOISE**2, dtype)
-    noise_field = jax.random.normal(knz, (B,) + DIMS, dtype) * NOISE
+    imgs = clean + jax.random.normal(kn, clean.shape, dtype) * noise
+    weights = jnp.full((B,) + DIMS, 1.0 / noise**2, dtype)
+    noise_field = jax.random.normal(knz, (B,) + DIMS, dtype) * noise
     return imgs, weights, cens, pimgs, pcens, noise_field
 
 
@@ -376,7 +377,10 @@ def secondary_rates(args, B):
     return out
 
 
-def _probe_default_backend(timeout=150):
+def _probe_default_backend(timeout=420):
+    # 420s: tunnel probes measured at 120-160s on live-but-loaded days
+    # (2026-08-19); 150s misclassified a slow tunnel as dead and the
+    # bench silently fell back to CPU
     """can the default (tunnel) backend run a trivial program?
 
     Probed in a SUBPROCESS: a dead tunnel hangs the client forever, so

@@ -1399,6 +1399,94 @@ def _mb_epochwise_normal_fn(model, nband):
     return normal_fn
 
 
+def _mb_epochwise_normal_fn_t(model, nband):
+    """_mb_epochwise_normal_fn over EPOCH-LEADING [E, Bc, P] pixel
+    planes (same math, same per-lane results).
+
+    Why the layout matters: TPU f32 tiles are (8 sublanes, 128 lanes)
+    on the two minor dims, so a lane-leading [Bc, E, P] tensor puts
+    E = 2-3 epochs in the 8-wide sublane dim and pads 8/E-fold -
+    measured as the mb solver running at half the flat solver's
+    lanes/s (tools/tpu_logs/solver_iso2.log: 63.6k vs 125.6k at
+    N=12288). With E leading, every heavy op works on fully-packed
+    [Bc, P] minor dims, exactly like the flat objective. Only the
+    parameter transpose [Bc, E, n] -> [E, Bc, n] (tiny) happens per
+    iteration; the pixel planes enter the loop already transposed
+    (see metacal_pipeline_mb) and are gathered by _mb_gather_t.
+    """
+    from .fitting.fit_model import FDIFF_BAD, epoch_band_pars
+
+    fill_fn = _MODEL_FILLS[model]
+    start = _MODEL_NSHAPE[model]
+
+    def normal_fn(pars, d):
+        px, pg, bnd = d.pixels, d.psf_gmix, d.band
+        Bc, E = bnd.shape
+        bpars = jax.vmap(
+            lambda p, b: epoch_band_pars(model, p, b)
+        )(pars, bnd)  # [Bc, E, start+1]
+        bpars_t = jnp.swapaxes(bpars, 0, 1)  # [E, Bc, start+1]
+
+        def one(p6, pxe, pge):
+            def f(q):
+                return _model_lm_fdiff(q, (pxe, pge), fill_fn)
+
+            return f(p6), jax.jacfwd(f)(p6)
+
+        r, J = jax.vmap(jax.vmap(one))(
+            bpars_t, px, pg
+        )  # [E, Bc, P], [E, Bc, P, start+1]
+
+        # epoch-bad coupling (cheap re-fill; flags only, no pixels)
+        gm0, gflags = fill_fn(bpars_t)
+        gm = gcore.gmix_convolve(gm0, pg)
+        bad_e = (gflags != 0) | (gcore.gmix_flags(gm) != 0)
+        any_bad = jnp.any(bad_e, axis=0)  # [Bc]
+        r = jnp.where(any_bad[None, :, None], FDIFF_BAD, r)
+        J = jnp.where(any_bad[None, :, None, None], 0.0, J)
+
+        cost_e, jtr_e, jtj_e = _normal_reductions(r, J)
+        cost = cost_e.sum(axis=0)
+        oh = (
+            bnd.T[:, :, None] == jnp.arange(nband, dtype=bnd.dtype)
+        ).astype(r.dtype)  # [E, Bc, nband]
+
+        Jtr_s = jnp.sum(jtr_e[..., :start], axis=0)  # [Bc, start]
+        Jtr_f = jnp.sum(
+            oh * jtr_e[..., start][..., None], axis=0
+        )  # [Bc, nband]
+        Jtr = jnp.concatenate([Jtr_s, Jtr_f], axis=-1)
+
+        SS = jnp.sum(jtj_e[..., :start, :start], axis=0)
+        SF = jnp.sum(
+            jtj_e[..., :start, start][..., None] * oh[:, :, None, :],
+            axis=0,
+        )  # [Bc, start, nband]
+        ff_diag = jnp.sum(
+            oh * jtj_e[..., start, start][..., None], axis=0
+        )  # [Bc, nband]
+        FF = jax.vmap(jnp.diag)(ff_diag)
+        top = jnp.concatenate([SS, SF], axis=-1)
+        bot = jnp.concatenate(
+            [jnp.swapaxes(SF, -1, -2), FF], axis=-1
+        )
+        JtJ = jnp.concatenate([top, bot], axis=-2)
+        return cost, Jtr, JtJ
+
+    return normal_fn
+
+
+def _mb_gather_t(d, idx):
+    """straggler-compaction gather for the epoch-leading solver data:
+    pixels/psf_gmix keep the lane axis SECOND ([E, Bc, ...]); band
+    stays lane-leading"""
+    return d._replace(
+        pixels=jax.tree.map(lambda x: x[:, idx], d.pixels),
+        psf_gmix=d.psf_gmix[:, idx],
+        band=d.band[idx],
+    )
+
+
 def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
                         band, nband, conf: MetacalConfig, lm_conf=None,
                         measure="exp-lm", measure_fwhm=1.2,
@@ -1662,11 +1750,16 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
                 r, J = jax.vmap(one)(pars, d)
                 return _normal_reductions(r, J)
         elif objective == "epoch":
+            mb_normal_fn = _mb_epochwise_normal_fn_t(model, nband)
+        elif objective == "epoch-be":
+            # previous lane-leading [Bc, E, P] layout, kept for A/B
+            # against the epoch-leading default (see
+            # _mb_epochwise_normal_fn_t's layout rationale)
             mb_normal_fn = _mb_epochwise_normal_fn(model, nband)
         else:
             raise ValueError(
-                "objective must be 'auto', 'epoch' or 'fused'; got %r"
-                % (objective,)
+                "objective must be 'auto', 'epoch', 'epoch-be' or "
+                "'fused'; got %r" % (objective,)
             )
 
         nres = jnp.sum(pixels.ierr > 0, axis=(-2, -1))
@@ -1674,9 +1767,24 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
         prior_fn = (
             None if lm_prior is None else lm_prior.fill_fdiff_device
         )
+        if objective == "epoch":
+            # solver-side view with the epoch axis leading: the pixel
+            # planes transpose ONCE here (outside the while_loop) and
+            # the compaction levels gather lanes on axis 1
+            data_solve = FitData(
+                pixels=jax.tree.map(
+                    lambda x: jnp.swapaxes(x, 0, 1), pixels
+                ),
+                psf_gmix=jnp.swapaxes(psf_gmix, 0, 1),
+                band=band_st,
+            )
+            gather_fn = _mb_gather_t
+        else:
+            data_solve, gather_fn = data, None
         out = run_lm_normal_batched(
-            mb_normal_fn, data, guess, lo, hi, lm_conf or LMConf(),
+            mb_normal_fn, data_solve, guess, lo, hi, lm_conf or LMConf(),
             nres=nres, compact_capacity=caps, prior_fn=prior_fn,
+            gather_fn=gather_fn,
         )
         # reference-definition s2n from the model-weighted sums over
         # ALL epochs/bands (ngmix/fitting/results.py:56-67); failed

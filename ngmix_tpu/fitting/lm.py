@@ -522,7 +522,7 @@ def get_def_stuff(npars):
 
 def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
                           nres, k_space=False, compact_capacity=None,
-                          prior_fn=None):
+                          prior_fn=None, gather_fn=None):
     """Batched LM driven by normal-equation reductions.
 
     Same algorithm and flag semantics as run_lm, but the objective is
@@ -537,6 +537,15 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
     of per-stamp unmasked counts so the chi^2/dof covariance scale
     matches the reference's compacted pixel lists (prior rows never
     enter it).
+
+    ``gather_fn`` (optional) customizes how the straggler-compaction
+    levels gather ``data`` down to the surviving lanes:
+    ``gather_fn(data, idx) -> data`` with ``idx`` the [K] lane index.
+    The default indexes every leaf's leading axis; pass a custom one
+    when the data layout keeps the lane axis elsewhere (e.g. the mb
+    objective's epoch-leading [E, B, P] pixel planes, which tile
+    efficiently on TPU where a lane-leading [B, E, P] pads the E
+    sublanes 8/E-fold).
 
     ``prior_fn`` (optional) maps ONE external parameter vector
     [npars] -> prior pseudo-residual rows [n_prior_rows] (e.g. a joint
@@ -745,7 +754,10 @@ def run_lm_normal_batched(normal_fn, data, guess, lo, hi, conf: LMConf,
         )
         idx = perm[:K]  # active lanes first
         outer.append((cur_state, idx))
-        cur_data = jax.tree.map(lambda x: x[idx], cur_data)
+        if gather_fn is None:
+            cur_data = jax.tree.map(lambda x: x[idx], cur_data)
+        else:
+            cur_data = gather_fn(cur_data, idx)
         cur_state = jax.tree.map(lambda x: x[idx], cur_state)
 
     cur_state = jax.lax.while_loop(

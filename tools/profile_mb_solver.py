@@ -25,6 +25,8 @@ from ngmix_tpu.batch import (  # noqa: E402
     _exp_lm_measure,
     _lm_result_columns,
     _mb_epochwise_normal_fn,
+    _mb_epochwise_normal_fn_t,
+    _mb_gather_t,
     _moments_lm_guess,
     make_pixels_batch,
 )
@@ -80,7 +82,18 @@ def main():
             guess = jnp.concatenate([guess5, wsum[:, None]], axis=-1)
             lo = jnp.full(6, -jnp.inf, dtype)
             hi = jnp.full(6, jnp.inf, dtype)
-            if objective == "epoch":
+            gather_fn = None
+            if objective == "epoch-t":
+                normal_fn = _mb_epochwise_normal_fn_t("exp", 1)
+                data = FitData(
+                    pixels=jax.tree.map(
+                        lambda x: jnp.swapaxes(x, 0, 1), pixels_mb
+                    ),
+                    psf_gmix=jnp.swapaxes(psf_gmix, 0, 1),
+                    band=band,
+                )
+                gather_fn = _mb_gather_t
+            elif objective == "epoch":
                 normal_fn = _mb_epochwise_normal_fn("exp", 1)
             else:
                 from ngmix_tpu.fitting.fit_model import make_fdiff_fn
@@ -102,6 +115,7 @@ def main():
             out = run_lm_normal_batched(
                 normal_fn, data, guess, lo, hi, lm_conf,
                 nres=nres, compact_capacity=_auto_cascade(B),
+                gather_fn=gather_fn,
             )
             _lm_result_columns(out, "exp", 5, nband=1)
             return out
@@ -116,14 +130,16 @@ def main():
         return (time.perf_counter() - t0) / reps
 
     tf = timeit(flat_solve, pixels, psf_sigma)
+    tm_t = timeit(make_mb_solve("epoch-t"), pixels, psf_sigma)
     tm_e = timeit(make_mb_solve("epoch"), pixels, psf_sigma)
     tm_f = timeit(make_mb_solve("fused"), pixels, psf_sigma)
     print("N=%d E=%d reps=%d" % (N, E, reps))
-    print("flat solve     : %.4f s (%.0f stamps/s)" % (tf, N / tf))
-    print("mb solve epoch : %.4f s (%.0f eps/s)" % (tm_e, N / tm_e))
-    print("mb solve fused : %.4f s (%.0f eps/s)" % (tm_f, N / tm_f))
-    print("epoch/flat = %.3f | fused/flat = %.3f"
-          % (tm_e / tf, tm_f / tf))
+    print("flat solve       : %.4f s (%.0f stamps/s)" % (tf, N / tf))
+    print("mb solve epoch-t : %.4f s (%.0f eps/s)" % (tm_t, N / tm_t))
+    print("mb solve epoch-be: %.4f s (%.0f eps/s)" % (tm_e, N / tm_e))
+    print("mb solve fused   : %.4f s (%.0f eps/s)" % (tm_f, N / tm_f))
+    print("epoch-t/flat = %.3f | epoch-be/flat = %.3f | fused/flat = %.3f"
+          % (tm_t / tf, tm_e / tf, tm_f / tf))
 
 
 if __name__ == "__main__":

@@ -46,7 +46,7 @@ SHEARED_JAC = (
 def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
                types=5, select=False, mb=False, Bsz=2048, nbatch=50,
                seed=777, quiet=False, gint_max=0.3, lm_bounds=None,
-               gal_model="exp", nband=1):
+               gal_model="exp", nband=1, noise=None, sel="T"):
     """accumulate calibration sums over nbatch sim+measure steps and
     return a result dict (m, se_m, R11, n, rate, extras).
 
@@ -72,16 +72,18 @@ def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
     # round-robin; nband >= 2 draws per-stamp per-band SED factors
     nepoch = max(2, nband)
 
+    nkw = {} if noise is None else {"noise": noise}
+
     def sim(key):
         if mb:
             return B.make_sim_batch_hetero(
                 key, Bsz, jac=jac, nepoch=nepoch, gint_max=gint_max,
-                gal_model=gal_model, nband=nband,
+                gal_model=gal_model, nband=nband, **nkw,
             )
         if het:
             return B.make_sim_batch_hetero(
                 key, Bsz, jac=jac, gint_max=gint_max,
-                gal_model=gal_model,
+                gal_model=gal_model, **nkw,
             )
         return B.make_sim_batch(key, Bsz)
 
@@ -97,9 +99,14 @@ def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
         )
 
     def sel_fn(r):
-        # a cut that BINDS on the heterogeneous population (T is drawn
-        # from [0.3, 1.1]) and is shear-correlated, so R_sel != 0 and
-        # the correction is genuinely exercised
+        if sel == "s2n":
+            # the production-style cut: at realistic noise the s2n
+            # threshold binds on a sizeable fraction of the population
+            # and is shear-correlated through the weighted flux
+            return r["s2n"] > 10.0
+        # a T cut that BINDS on the heterogeneous population (T is
+        # drawn from [0.3, 1.1]) and is shear-correlated, so
+        # R_sel != 0 and the correction is genuinely exercised
         return r["T"] > 0.55
 
     nacc = len(all_types)
@@ -229,6 +236,118 @@ def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
     return out
 
 
+
+def run_config_pm(measure="exp-lm", wcs="diag", select=False,
+                  Bsz=2048, nbatch=100, seed=911, quiet=False,
+                  gint_max=0.3, noise=0.55, lm_bounds=None):
+    """realistic-noise m validation via +-g noise cancellation.
+
+    At survey noise (s2n ~ 10-20; noise=0.55 puts the hetero
+    population's s2n at p16/p50/p84 = 11/15/20) the per-lane shape
+    error is sigma_e ~ 2/s2n, so even 10^5 pairs only resolve m to
+    ~4e-2 - the |m| < 1e-3 gate is unreachable by averaging alone.
+    The standard remedy (the reference's mdet regression tests and
+    Sheldon & Huff 2017 sims) is shear cancellation: simulate the SAME
+    population twice with g1 = +-0.02 and IDENTICAL noise realizations
+    (same PRNG key; the shear enters only the truth gmix), then
+      m = (<e+>_ns - <e->_ns) / (S * (R11+ + R11-)) - 1,
+    where the noise-induced measurement error cancels to first order
+    in the difference. With a selection, each run's Sheldon & Huff
+    estimator (R11 + Rsel) enters the same difference. se_m comes from
+    the batch-to-batch scatter of the per-batch difference (99.7%).
+
+    This is the regime where fixnoise earns its keep: the sheared
+    types' correlated noise would otherwise bias R11 itself.
+    """
+    S = 0.02
+    jac = SHEARED_JAC if wcs == "sheared" else (B.SCALE, 0, 0, B.SCALE)
+    conf = MetacalConfig(
+        dims=B.DIMS, psf_dims=B.PSF_DIMS, jac=jac,
+        fixnoise=True, pad_factor=1.3, fit_dims=(19, 19),
+    )
+
+    def measure_step(key, sgn):
+        args = B.make_sim_batch_hetero(
+            key, Bsz, jac=jac, gint_max=gint_max, noise=noise,
+            shear=(sgn * S, 0.0),
+        )
+        return metacal_pipeline(
+            *args, conf, measure=measure, lm_bounds=lm_bounds
+        )
+
+    def sel_fn(r):
+        return r["s2n"] > 10.0
+
+    ns = "noshear"
+    combos = [(ns, ns)] + [(t, ns) for t in GALSHEAR_TYPES[1:]] \
+        + [(ns, t) for t in GALSHEAR_TYPES[1:]]
+
+    @jax.jit
+    def step(key, ib, acc, dif):
+        # acc [2, ncombo, 2]: per run (+,-), per (value-type, sel-type)
+        # combo, (sum e1, n); dif [nbatch]: per-batch mean difference
+        means = []
+        for r, sgn in enumerate((1.0, -1.0)):
+            res = measure_step(key, sgn)
+            for j, (vt, st) in enumerate(combos):
+                ok = (res[vt]["flags"] == 0) & (res[st]["flags"] == 0)
+                if select:
+                    ok = ok & sel_fn(res[st])
+                e1 = jnp.where(ok, res[vt]["e1"], 0.0)
+                acc = acc.at[r, j, 0].add(jnp.sum(e1))
+                acc = acc.at[r, j, 1].add(jnp.sum(ok))
+                if j == 0:
+                    means.append(
+                        jnp.sum(e1) / jnp.maximum(jnp.sum(ok), 1)
+                    )
+        dif = dif.at[ib].set(means[0] - means[1])
+        return acc, dif
+
+    key = jax.random.PRNGKey(seed)
+    acc = jnp.zeros((2, len(combos), 2))
+    dif = jnp.zeros((nbatch,))
+    key, k = jax.random.split(key)
+    acc, dif = step(k, 0, acc, dif)  # compile
+    float(acc[0, 0, 0])
+    t0 = time.time()
+    for ib in range(1, nbatch):
+        key, k = jax.random.split(key)
+        acc, dif = step(k, ib, acc, dif)
+    a = jax.device_get(acc)
+    d = jax.device_get(dif)
+    t_total = time.time() - t0
+    rate = (nbatch - 1) * Bsz * 2 / t_total
+
+    mean = [
+        {c: a[r, j, 0] / max(a[r, j, 1], 1) for j, c in enumerate(combos)}
+        for r in range(2)
+    ]
+    Rtot = []
+    for r in range(2):
+        R11 = (mean[r][("1p", ns)] - mean[r][("1m", ns)]) / S
+        Rsel = (
+            (mean[r][(ns, "1p")] - mean[r][(ns, "1m")]) / S
+            if select else 0.0
+        )
+        Rtot.append(R11 + Rsel)
+    diff = mean[0][(ns, ns)] - mean[1][(ns, ns)]
+    m = diff / (S * (Rtot[0] + Rtot[1])) - 1.0
+    se_dif = float(jnp.std(jnp.asarray(d))) / max(nbatch, 1) ** 0.5
+    se_m = 3.0 * se_dif / (S * (Rtot[0] + Rtot[1]))
+    out = {
+        "m": float(m), "se_m": float(se_m),
+        "R11": float(0.5 * (Rtot[0] + Rtot[1])), "n": int(a[0, 0, 1]),
+        "rate": rate, "n_stamps": nbatch * Bsz * 2, "noise": noise,
+    }
+    if not quiet:
+        print(
+            "pm n=%d (%.0f/s sustained)  Rtot=%.4f  m = %.2e +/- %.2e "
+            "(99.7%%)" % (out["n"], rate, out["R11"], out["m"],
+                          out["se_m"])
+        )
+    return out
+
+
 SWEEP = [
     # label, kwargs — the round-3 estimator-surface table
     ("exp-lm het", dict(measure="exp-lm")),
@@ -290,6 +409,29 @@ SWEEP = [
             [2.0, 2.0, 0.99, 0.99, 20.0, 1.0, 1.0e9, 1.0e9],
         ),
     )),
+    # shipped-shape discipline: the headline bench program shape
+    # (max_chunk default 10240) must always be in the validated set -
+    # round 4's regression shipped at a shape no sweep row ever ran
+    ("exp-lm het SHIPPED-SHAPE Bsz=10240", dict(
+        measure="exp-lm", Bsz=10240, nbatch=12,
+    )),
+    # realistic survey noise (s2n p16/p50/p84 = 11/15/20): the regime
+    # where fixnoise does real work. m via +-g shear cancellation with
+    # shared noise realizations (run_config_pm): the residual per-lane
+    # sigma(e+ - e-) ~ 0.012 (99.6% of the raw noise cancels), so
+    # 500 x 2048 stamps/run resolves m to ~1e-3 at 99.7%.
+    ("exp-lm het s2n~15 (pm)", dict(
+        _pm=True, measure="exp-lm", noise=0.55, Bsz=2048, nbatch=500,
+    )),
+    ("pgauss het s2n~15 (pm)", dict(
+        _pm=True, measure="pgauss", noise=0.55, Bsz=2048, nbatch=500,
+    )),
+    # production-style selection (s2n > 10 binds on ~p16 of the
+    # population) through the Sheldon & Huff selection response
+    ("exp-lm select(s2n>10) s2n~15 (pm)", dict(
+        _pm=True, measure="exp-lm", noise=0.55, select=True,
+        Bsz=2048, nbatch=500,
+    )),
 ]
 
 
@@ -327,7 +469,9 @@ def main():
                 "unknown sweep row %r; known: %s"
                 % (a.sweep_row, sorted(labels)))
         print("== %s" % a.sweep_row, flush=True)
-        r = run_config(**prepare_row(labels[a.sweep_row]))
+        kw = prepare_row(labels[a.sweep_row])
+        fn = run_config_pm if kw.pop("_pm", False) else run_config
+        r = fn(**kw)
         print({k: v for k, v in r.items()})
         return
 
@@ -337,8 +481,9 @@ def main():
             kw = prepare_row(kw)
             print("== %s" % label, flush=True)
             t0 = time.time()
+            fn = run_config_pm if kw.pop("_pm", False) else run_config
             try:
-                r = run_config(**kw)
+                r = fn(**kw)
             except Exception as e:  # keep sweeping
                 print("  FAILED: %r" % e)
                 rows.append((label, None))
