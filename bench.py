@@ -407,12 +407,16 @@ def _probe_default_backend(timeout=420):
 def main():
     import os
 
-    # 20480 = 2 x 10240: the pipeline chunks into two identical
-    # programs at the largest |m|-VALIDATED shape (full gate green at
-    # B=10240). Round 4's 6144-chunk default was retuned on throughput
-    # alone and turned out to be an XLA wrong-code artifact (the LM
-    # froze at its guess) - see make_metacal_pipeline_fn's docstring.
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 20480
+    # 10240: the largest |m|-VALIDATED single program (full gate green:
+    # 30.6k stamps/s, m=3.9e-4, hetero 4.0e-4, 2026-08-19). B=20480
+    # measured RESOURCE_EXHAUSTED on the 16G chip (the full sim batch
+    # plus even one 10240-chunk program's working set,
+    # tools/tpu_logs/ab_chunk_r5.log) - bigger batches need the
+    # chunked closure AND sims built per chunk. Round 4's 6144-chunk
+    # default was retuned on throughput alone and turned out to be an
+    # XLA wrong-code artifact (the LM froze at its guess) - see
+    # make_metacal_pipeline_fn's docstring.
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
     nrep = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
     # Tunnel-outage resilience: if the default backend cannot run a
