@@ -1487,6 +1487,96 @@ def _mb_gather_t(d, idx):
     )
 
 
+def _mb_epochwise_normal_fn_f(model, nband):
+    """_mb_epochwise_normal_fn over FOLDED [Bc*E, P] pixel planes.
+
+    Every heavy tensor (residuals [Bc*E, P], jacobians [Bc*E, P, n],
+    per-pixel evals) has exactly the flat solver's rank-2/3 shapes -
+    the per-epoch-stamp work IS a flat solve of Bc*E stamps. Only the
+    small tensors cross the epoch structure per iteration: the
+    parameter fold [Bc, E, n] -> [Bc*E, n] and the reduction unfold
+    [Bc*E, ...] -> [Bc, E, ...] before the band one-hot assembly
+    (n<=8 per lane - trivial copies). The pixel planes enter the
+    while_loop already folded, so nothing big reshapes per iteration;
+    compaction gathers lanes by expanding the lane index to its E
+    epoch rows (_mb_gather_f).
+    """
+    from .fitting.fit_model import FDIFF_BAD, epoch_band_pars
+
+    fill_fn = _MODEL_FILLS[model]
+    start = _MODEL_NSHAPE[model]
+
+    def normal_fn(pars, d):
+        px, pg, bnd = d.pixels, d.psf_gmix, d.band
+        Bc, E = bnd.shape
+        bpars = jax.vmap(
+            lambda p, b: epoch_band_pars(model, p, b)
+        )(pars, bnd)  # [Bc, E, start+1]
+        bp = bpars.reshape(Bc * E, start + 1)
+
+        def one(p6, pxe, pge):
+            def f(q):
+                return _model_lm_fdiff(q, (pxe, pge), fill_fn)
+
+            return f(p6), jax.jacfwd(f)(p6)
+
+        r, J = jax.vmap(one)(bp, px, pg)  # [Bc*E, P], [Bc*E, P, n]
+
+        gm0, gflags = fill_fn(bp)
+        gm = gcore.gmix_convolve(gm0, pg)
+        bad = (gflags != 0) | (gcore.gmix_flags(gm) != 0)  # [Bc*E]
+        any_bad = jnp.any(bad.reshape(Bc, E), axis=1)
+        bad_l = jnp.repeat(any_bad, E)
+        r = jnp.where(bad_l[:, None], FDIFF_BAD, r)
+        J = jnp.where(bad_l[:, None, None], 0.0, J)
+
+        cost_l, jtr_l, jtj_l = _normal_reductions(r, J)
+        cost = cost_l.reshape(Bc, E).sum(axis=1)
+        jtr_e = jtr_l.reshape(Bc, E, start + 1)
+        jtj_e = jtj_l.reshape(Bc, E, start + 1, start + 1)
+        oh = (
+            bnd[:, :, None] == jnp.arange(nband, dtype=bnd.dtype)
+        ).astype(r.dtype)  # [Bc, E, nband]
+
+        Jtr_s = jnp.sum(jtr_e[..., :start], axis=1)
+        Jtr_f = jnp.sum(oh * jtr_e[..., start][..., None], axis=1)
+        Jtr = jnp.concatenate([Jtr_s, Jtr_f], axis=-1)
+
+        SS = jnp.sum(jtj_e[..., :start, :start], axis=1)
+        SF = jnp.sum(
+            jtj_e[..., :start, start][..., None] * oh[:, :, None, :],
+            axis=1,
+        )
+        ff_diag = jnp.sum(
+            oh * jtj_e[..., start, start][..., None], axis=1
+        )
+        FF = jax.vmap(jnp.diag)(ff_diag)
+        top = jnp.concatenate([SS, SF], axis=-1)
+        bot = jnp.concatenate(
+            [jnp.swapaxes(SF, -1, -2), FF], axis=-1
+        )
+        JtJ = jnp.concatenate([top, bot], axis=-2)
+        return cost, Jtr, JtJ
+
+    return normal_fn
+
+
+def _make_mb_gather_f(E):
+    """compaction gather for the folded solver data: expand each
+    surviving lane index to its E contiguous epoch rows"""
+
+    def gather(d, idx):
+        idx_ep = (idx[:, None] * E + jnp.arange(E, dtype=idx.dtype))
+        idx_ep = idx_ep.reshape(-1)
+        return d._replace(
+            pixels=jax.tree.map(lambda x: x[idx_ep], d.pixels),
+            psf_gmix=d.psf_gmix[idx_ep],
+            band=d.band[idx],
+        )
+
+    return gather
+
+
 def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
                         band, nband, conf: MetacalConfig, lm_conf=None,
                         measure="exp-lm", measure_fwhm=1.2,
@@ -1750,16 +1840,21 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
                 r, J = jax.vmap(one)(pars, d)
                 return _normal_reductions(r, J)
         elif objective == "epoch":
-            mb_normal_fn = _mb_epochwise_normal_fn_t(model, nband)
+            # folded [Bc*E, P] layout - the measured winner: 1.09x the
+            # flat solver's time vs 1.94x ([Bc, E, P]) and 2.02x
+            # ([E, Bc, P]) at N=12288/E=2 (tools/tpu_logs/
+            # solver_iso_f.log); see _mb_epochwise_normal_fn_f
+            mb_normal_fn = _mb_epochwise_normal_fn_f(model, nband)
         elif objective == "epoch-be":
-            # previous lane-leading [Bc, E, P] layout, kept for A/B
-            # against the epoch-leading default (see
-            # _mb_epochwise_normal_fn_t's layout rationale)
+            # lane-leading [Bc, E, P] layout, kept for A/B
             mb_normal_fn = _mb_epochwise_normal_fn(model, nband)
+        elif objective == "epoch-t":
+            # epoch-leading [E, Bc, P] layout, kept for A/B
+            mb_normal_fn = _mb_epochwise_normal_fn_t(model, nband)
         else:
             raise ValueError(
-                "objective must be 'auto', 'epoch', 'epoch-be' or "
-                "'fused'; got %r" % (objective,)
+                "objective must be 'auto', 'epoch', 'epoch-be', "
+                "'epoch-t' or 'fused'; got %r" % (objective,)
             )
 
         nres = jnp.sum(pixels.ierr > 0, axis=(-2, -1))
@@ -1768,6 +1863,18 @@ def metacal_pipeline_mb(images, weights, cens, psf_images, psf_cens, noise,
             None if lm_prior is None else lm_prior.fill_fdiff_device
         )
         if objective == "epoch":
+            # folded solver view [T*B*E, P]: one contiguous reshape
+            # here, outside the while_loop
+            data_solve = FitData(
+                pixels=jax.tree.map(
+                    lambda x: x.reshape((T * B * E,) + x.shape[2:]),
+                    pixels,
+                ),
+                psf_gmix=psf_gmix.reshape(T * B * E, 1, 6),
+                band=band_st,
+            )
+            gather_fn = _make_mb_gather_f(E)
+        elif objective == "epoch-t":
             # solver-side view with the epoch axis leading: the pixel
             # planes transpose ONCE here (outside the while_loop) and
             # the compaction levels gather lanes on axis 1

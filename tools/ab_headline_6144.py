@@ -1,7 +1,8 @@
 """A/B: headline default (B=10240, one program) vs B=12288 chunked as
-2x6144 (sweep_headline measured the 6144 shape at 39.0k stamps/s vs
-31.1k at 10240; exactly-divisible chunks compile ONE shape and async
-dispatch overlaps the chunk dispatches).
+2x6144. HISTORICAL - round 5 root-caused the 6144 shape's apparent
+39k-vs-31k win as XLA TPU wrong code (the LM froze at its guess; see
+fitting/lm.py). Kept only as the reproduction recipe for that bug;
+do NOT use its numbers to tune defaults.
 
 Run on the TPU: python tools/ab_headline_6144.py [reps]
 """

@@ -24,7 +24,9 @@ from ngmix_tpu.batch import (  # noqa: E402
     _auto_cascade,
     _exp_lm_measure,
     _lm_result_columns,
+    _make_mb_gather_f,
     _mb_epochwise_normal_fn,
+    _mb_epochwise_normal_fn_f,
     _mb_epochwise_normal_fn_t,
     _mb_gather_t,
     _moments_lm_guess,
@@ -93,6 +95,17 @@ def main():
                     band=band,
                 )
                 gather_fn = _mb_gather_t
+            elif objective == "epoch-f":
+                normal_fn = _mb_epochwise_normal_fn_f("exp", 1)
+                data = FitData(
+                    pixels=jax.tree.map(
+                        lambda x: x.reshape((B * E,) + x.shape[2:]),
+                        pixels_mb,
+                    ),
+                    psf_gmix=psf_gmix.reshape(B * E, 1, 6),
+                    band=band,
+                )
+                gather_fn = _make_mb_gather_f(E)
             elif objective == "epoch":
                 normal_fn = _mb_epochwise_normal_fn("exp", 1)
             else:
@@ -130,16 +143,19 @@ def main():
         return (time.perf_counter() - t0) / reps
 
     tf = timeit(flat_solve, pixels, psf_sigma)
+    tm_fold = timeit(make_mb_solve("epoch-f"), pixels, psf_sigma)
     tm_t = timeit(make_mb_solve("epoch-t"), pixels, psf_sigma)
     tm_e = timeit(make_mb_solve("epoch"), pixels, psf_sigma)
     tm_f = timeit(make_mb_solve("fused"), pixels, psf_sigma)
     print("N=%d E=%d reps=%d" % (N, E, reps))
     print("flat solve       : %.4f s (%.0f stamps/s)" % (tf, N / tf))
+    print("mb solve epoch-f : %.4f s (%.0f eps/s)" % (tm_fold, N / tm_fold))
     print("mb solve epoch-t : %.4f s (%.0f eps/s)" % (tm_t, N / tm_t))
     print("mb solve epoch-be: %.4f s (%.0f eps/s)" % (tm_e, N / tm_e))
     print("mb solve fused   : %.4f s (%.0f eps/s)" % (tm_f, N / tm_f))
-    print("epoch-t/flat = %.3f | epoch-be/flat = %.3f | fused/flat = %.3f"
-          % (tm_t / tf, tm_e / tf, tm_f / tf))
+    print("epoch-f/flat = %.3f | epoch-t/flat = %.3f | epoch-be/flat = %.3f"
+          " | fused/flat = %.3f"
+          % (tm_fold / tf, tm_t / tf, tm_e / tf, tm_f / tf))
 
 
 if __name__ == "__main__":

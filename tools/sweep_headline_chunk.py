@@ -2,6 +2,13 @@
 reps (same-session comparability; tunnel drift cancels). Informs
 bench.py's default B / the pipeline max_chunk.
 
+WARNING (round 5): throughput alone is NOT sufficient to pick a
+shape. The B=6144 "sweet spot" this sweep found in round 4 was an XLA
+TPU wrong-code artifact - the LM froze at its guess, so the program
+was fast because it wasn't fitting (see fitting/lm.py's wrong-code
+history). Any candidate shape from this sweep must pass a full
+`python bench.py <B>` gate run before it ships.
+
 Run on the TPU: python tools/sweep_headline_chunk.py [reps]
 """
 import sys

@@ -3,7 +3,8 @@
 One size at a time (holding every size's inputs+programs at once
 RESOURCE_EXHAUSTED the 16G chip); within a size the mb/flat reps are
 interleaved so that ratio is drift-free. Cross-size absolute rates
-carry ~5% tunnel drift.
+carry ~5% tunnel drift. The mb side runs the production chunked
+closure (max_chunk=4096 objects, inflight=2), so B=6144/E=3 fits.
 
 Run on the TPU: python tools/sweep_mb_batch.py [E] [nband] [reps] [pad]
 """
@@ -18,8 +19,8 @@ sys.path.insert(0, ".")
 import bench as BN  # noqa: E402
 from ngmix_tpu.batch import (  # noqa: E402
     MetacalConfig,
+    make_metacal_pipeline_mb_fn,
     metacal_pipeline,
-    metacal_pipeline_mb,
 )
 
 
@@ -52,10 +53,11 @@ def main():
         flat_args = tuple(
             a.reshape((B * E,) + a.shape[2:]) for a in mb_args
         )
-        mb = jax.jit(
-            lambda *a: metacal_pipeline_mb(
-                *a, band, nband, conf, measure="exp-lm"
-            )
+        # the production chunked closure: one program for B <= 4096,
+        # bounded-in-flight 4096-object chunks beyond (round 4's
+        # single-program B=6144/E=3 row RESOURCE_EXHAUSTED 16G)
+        mb = make_metacal_pipeline_mb_fn(
+            conf, band, nband, measure="exp-lm"
         )
         fl = jax.jit(
             lambda *a: metacal_pipeline(*a, conf, measure="exp-lm")

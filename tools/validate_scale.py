@@ -447,6 +447,12 @@ def main():
     p.add_argument("--nband", type=int, default=1)
     p.add_argument("--batch", type=int, default=2048)
     p.add_argument("--nbatch", type=int, default=50)
+    p.add_argument("--pm", action="store_true",
+                   help="use the +-g shared-noise cancellation "
+                        "estimator (run_config_pm)")
+    p.add_argument("--noise", type=float, default=None,
+                   help="per-pixel sim noise (default: the high-s2n "
+                        "1e-4; pm mode defaults to 0.55)")
     p.add_argument("--sweep", action="store_true")
     p.add_argument("--sweep-row", default=None,
                    help="run a single sweep entry by its label")
@@ -507,10 +513,17 @@ def main():
             )
         return
 
+    if a.pm:
+        run_config_pm(
+            measure=a.measure, wcs=a.wcs, select=a.select,
+            Bsz=a.batch, nbatch=a.nbatch,
+            noise=0.55 if a.noise is None else a.noise,
+        )
+        return
     run_config(
         measure=a.measure, psf_mode=a.psf_mode, het=not a.homog,
         wcs=a.wcs, types=a.types, select=a.select, mb=a.mb,
-        nband=a.nband, Bsz=a.batch, nbatch=a.nbatch,
+        nband=a.nband, Bsz=a.batch, nbatch=a.nbatch, noise=a.noise,
     )
 
 
