@@ -1077,7 +1077,11 @@ def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
     different ways) at that one shape — see run_lm_normal_batched's
     wrong-code history note. Any chunk-size retune must be validated
     by a full `python bench.py` gate run (|m| AND |hetero m| < 1e-3)
-    at the new shape, never by throughput alone.
+    at the new shape, never by throughput alone. The dispatcher
+    QUARANTINES the known-bad shape: a schedule entry of exactly 6144
+    stamps (e.g. the remainder of B=16384 at max_chunk=10240, or
+    B=6144 itself) is re-split into validated 2048-stamp programs
+    (_XLA_TPU_QUARANTINED_CHUNKS).
 
     inflight: at most this many chunk programs are dispatched ahead of
     the oldest unfetched one (2 keeps the device queue busy while
@@ -1098,19 +1102,57 @@ def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
 
     def chunked(images, weights, cens, psf_images, psf_cens, noise):
         B = images.shape[0]
-        if B <= max_chunk:
+        sizes = _chunk_sizes(B, max_chunk)
+        if len(sizes) == 1:
             return fn(images, weights, cens, psf_images, psf_cens, noise)
         args = (images, weights, cens, psf_images, psf_cens, noise)
         parts = []
-        for j, i in enumerate(range(0, B, max_chunk)):
+        i = 0
+        for j, c in enumerate(sizes):
             if j >= inflight:
                 _sync_result(parts[j - inflight])
-            parts.append(fn(*[a[i:i + max_chunk] for a in args]))
+            parts.append(fn(*[a[i:i + c] for a in args]))
+            i += c
         return jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=0), *parts
         )
 
     return chunked
+
+
+# XLA-TPU wrong-code quarantine: flat-pipeline program shapes known to
+# miscompile the fused metacal+LM program on current XLA TPU (the
+# round-4 headline regression - the compiled solver froze ~every lane
+# at its starting guess with flags=0; see make_metacal_pipeline_fn's
+# retune caution and run_lm_normal_batched's history note). Without
+# this, a user batch like B=16384 at max_chunk=10240 would emit a
+# 6144-stamp remainder program, and B=6144 exactly would single-shot
+# it. Quarantined sizes are re-split into _QUARANTINE_SPLIT-stamp
+# programs (2048: per-lane-validated against CPU). Applies only to
+# the flat chunk schedule - the mb pipeline compiles a structurally
+# different program and has shown no artifact signature at its
+# folded-row shapes.
+_XLA_TPU_QUARANTINED_CHUNKS = frozenset({6144})
+_QUARANTINE_SPLIT = 2048
+
+
+def _chunk_sizes(B, max_chunk):
+    """chunk-size schedule for the flat closure: max_chunk-sized
+    chunks plus a remainder, with quarantined sizes re-split into
+    _QUARANTINE_SPLIT-stamp programs (see the quarantine note above)"""
+    sizes = []
+    left = B
+    while left > 0:
+        c = min(left, max_chunk)
+        left -= c
+        if c in _XLA_TPU_QUARANTINED_CHUNKS:
+            n, rem = divmod(c, _QUARANTINE_SPLIT)
+            sizes.extend([_QUARANTINE_SPLIT] * n)
+            if rem:
+                sizes.append(rem)
+        else:
+            sizes.append(c)
+    return sizes
 
 
 def _sync_result(part):

@@ -876,3 +876,53 @@ def test_make_metacal_pipeline_fn_chunks():
             np.asarray(ref[t]["s2n"]), np.asarray(out[t]["s2n"]),
             rtol=1e-5, err_msg=t,
         )
+
+
+def test_chunk_sizes_quarantines_wrongcode_shape():
+    """the flat chunk schedule never emits a 6144-stamp program (the
+    XLA-TPU wrong-code shape from the round-4 regression): both the
+    exact-batch and the remainder-chunk routes re-split into
+    validated 2048-stamp programs"""
+    from ngmix_tpu.batch import _chunk_sizes
+
+    assert _chunk_sizes(6144, 10240) == [2048, 2048, 2048]
+    assert _chunk_sizes(16384, 10240) == [10240, 2048, 2048, 2048]
+    assert _chunk_sizes(12288, 10240) == [10240, 2048]
+    assert _chunk_sizes(20480, 10240) == [10240, 10240]
+    assert _chunk_sizes(512, 10240) == [512]
+    # a non-quarantined remainder passes through untouched
+    assert _chunk_sizes(10752, 10240) == [10240, 512]
+    # schedules always cover the batch exactly
+    for B in (1, 2048, 6144, 6145, 10240, 16384, 22528):
+        assert sum(_chunk_sizes(B, 10240)) == B
+        assert 6144 not in _chunk_sizes(B, 10240)
+
+
+def test_quarantined_chunk_split_matches_one_shot(monkeypatch):
+    """per-lane equivalence through the quarantine path: with the
+    quarantined size patched down to test scale, a batch that lands
+    exactly on it is re-split yet matches the one-shot pipeline"""
+    import ngmix_tpu.batch as batch_mod
+
+    monkeypatch.setattr(
+        batch_mod, "_XLA_TPU_QUARANTINED_CHUNKS", frozenset({6})
+    )
+    monkeypatch.setattr(batch_mod, "_QUARANTINE_SPLIT", 2)
+
+    rng = np.random.RandomState(54)
+    args = _sim_batch(rng, 6)
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+    )
+    ref = metacal_pipeline(*args, conf, measure="exp-lm")
+    fn = make_metacal_pipeline_fn(conf, measure="exp-lm", max_chunk=8)
+    out = fn(*args)
+    for t in ("noshear", "1p"):
+        np.testing.assert_array_equal(
+            np.asarray(ref[t]["flags"]), np.asarray(out[t]["flags"]), t
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref[t]["pars"]), np.asarray(out[t]["pars"]),
+            rtol=1e-5, atol=1e-10, err_msg=t,
+        )

@@ -19,8 +19,8 @@ sys.path.insert(0, ".")
 import bench as BN  # noqa: E402
 from ngmix_tpu.batch import (  # noqa: E402
     MetacalConfig,
+    make_metacal_pipeline_fn,
     make_metacal_pipeline_mb_fn,
-    metacal_pipeline,
 )
 
 
@@ -59,9 +59,12 @@ def main():
         mb = make_metacal_pipeline_mb_fn(
             conf, band, nband, measure="exp-lm"
         )
-        fl = jax.jit(
-            lambda *a: metacal_pipeline(*a, conf, measure="exp-lm")
-        )
+        # flat side must ALSO be the production closure: a bare jit at
+        # B*E = 6144 stamps compiles the XLA wrong-code shape and runs
+        # artifact-fast (~39k eps/s with the solver frozen at its
+        # guess), corrupting the mb/flat ratio at that row. The
+        # closure's quarantine re-splits 6144 into 2048-stamp programs.
+        fl = make_metacal_pipeline_fn(conf, measure="exp-lm")
         try:
             fetch(mb(*mb_args))
             fetch(fl(*flat_args))
