@@ -243,17 +243,22 @@ def secondary_rates(args, B):
     stamps (EM, admom, gaussmom, pre-psf moments, gaussmom metacal).
     Each is one jitted batched program, timed over 2 reps.
 
-    Capped at B=2048: the secondary configs run bigger FFT grids
-    (pad 2-4) where the headline knee batch would press HBM; 2048 is
-    past each secondary's own throughput knee."""
+    The standalone solvers run at the headline batch (capped at the
+    m-validated 10240 program-shape ceiling): they consume only the
+    raw stamps, so HBM is no concern and bigger programs amortize
+    dispatch (em1/admom read ~40% faster at 10240-18432-stamp
+    programs than at 2048 — the round-4 vs round-5 secondary-rate
+    delta was this measurement shape, not a code change). The pad-2
+    metacal secondaries re-slice to 2048: their FFT grids at the
+    headline batch press the 16G chip (round-4 bench OOM)."""
     from ngmix_tpu.admom import AdmomConf, admom_batch
     from ngmix_tpu.batch import make_pixels_batch
     from ngmix_tpu.em import EMConf, em_batch
     from ngmix_tpu.gaussmom import gaussmom_measure
     from ngmix_tpu.prepsfmom import prepsfmom_batch
 
-    if B > 2048:
-        B = 2048
+    if B > 10240:
+        B = 10240
         args = tuple(a[:B] for a in args)
     imgs, weights, cens, pimgs, pcens, noise = args
     dtype = imgs.dtype
@@ -273,6 +278,7 @@ def secondary_rates(args, B):
     out = {}
 
     # (1) single-gaussian EM
+    px_em = shifted = None
     try:
         im_min = imgs.min(axis=(1, 2))
         im_max = imgs.max(axis=(1, 2))
@@ -325,6 +331,17 @@ def secondary_rates(args, B):
         )
     except Exception:
         out["prepsfmom_stamps_per_sec"] = None
+
+    # pad-2 metacal secondaries on a 2048 slice (HBM: see docstring);
+    # free the standalone-solver pixel grids first
+    pixels = area = px_em = shifted = None
+    imgs = weights = cens = pimgs = pcens = noise = None
+    if B > 2048:
+        B = 2048
+        args = tuple(a[:B] for a in args)
+    import gc
+
+    gc.collect()
 
     # full metacal with the (lighter) gaussmom measure - the workload
     # of the reference's metacal example (~16.7 stamps/s laptop-core)
@@ -488,13 +505,20 @@ def main():
         )
     )
 
-    # keep only the small slice the secondary configs need, then free
-    # the full homogeneous set: sims + results + the hetero set all
-    # resident at B=18432 exhaust the 16G chip (round-4 bench OOM)
     import gc
 
-    Bsec = min(B, 2048)
-    sec_args = tuple(a[:Bsec] for a in args)
+    # secondaries run while the headline sims are still resident: the
+    # standalone-solver rates reuse the full batch (raw stamps only;
+    # secondary_rates internally re-slices to 2048 for the pad-2
+    # metacal configs)
+    if os.environ.get("NGMIX_BENCH_SECONDARY", "1") != "0":
+        secondary = secondary_rates(args, B)
+    else:
+        secondary = {}
+
+    # free the full homogeneous set before building the hetero one:
+    # sims + results + the hetero set all resident at B=18432 exhaust
+    # the 16G chip (round-4 bench OOM)
     args = res = None
     gc.collect()
 
@@ -512,10 +536,6 @@ def main():
     het_args = het_sr = None
     gc.collect()
 
-    if os.environ.get("NGMIX_BENCH_SECONDARY", "1") != "0":
-        secondary = secondary_rates(sec_args, Bsec)
-    else:
-        secondary = {}
     secondary["hetero_shear_bias_m"] = float("%.3e" % het_m)
 
     # mechanical correctness gate (|m| ~ 3-5e-4 is the reference's
