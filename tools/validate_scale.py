@@ -239,7 +239,8 @@ def run_config(measure="exp-lm", psf_mode="gauss", het=True, wcs="diag",
 
 def run_config_pm(measure="exp-lm", wcs="diag", select=False,
                   Bsz=2048, nbatch=100, seed=911, quiet=False,
-                  gint_max=0.3, noise=0.55, lm_bounds=None):
+                  gint_max=0.3, noise=0.55, lm_bounds=None,
+                  select_cut=10.0):
     """realistic-noise m validation via +-g noise cancellation.
 
     At survey noise (s2n ~ 10-20; noise=0.55 puts the hetero
@@ -276,11 +277,24 @@ def run_config_pm(measure="exp-lm", wcs="diag", select=False,
         )
 
     def sel_fn(r):
-        return r["s2n"] > 10.0
+        return r["s2n"] > select_cut
 
+    # combos (value-type, selection-type): (t, ns) rows give the
+    # response of the SELECTED sample R11; (ns, t) rows give the
+    # Sheldon & Huff selection response Rsel (arXiv:1702.02601 eq
+    # 10-11, first order in the selection's shear dependence); (t, t)
+    # rows give the shear-CONSISTENT selection response (each sheared
+    # type selected by its own measurements), which absorbs the
+    # selection response into R11 exactly - the estimator the
+    # reference's own oracle uses (ngmix/tests/
+    # test_metacal_accuracy.py:56-58 selects w_1p/w_1m per type).
+    # With a hard cut the two differ at second order: both are
+    # reported when select is on.
     ns = "noshear"
     combos = [(ns, ns)] + [(t, ns) for t in GALSHEAR_TYPES[1:]] \
         + [(ns, t) for t in GALSHEAR_TYPES[1:]]
+    if select:
+        combos += [(t, t) for t in GALSHEAR_TYPES[1:]]
 
     @jax.jit
     def step(key, ib, acc, dif):
@@ -339,6 +353,23 @@ def run_config_pm(measure="exp-lm", wcs="diag", select=False,
         "R11": float(0.5 * (Rtot[0] + Rtot[1])), "n": int(a[0, 0, 1]),
         "rate": rate, "n_stamps": nbatch * Bsz * 2, "noise": noise,
     }
+    if select:
+        Rcons = [
+            (mean[r][("1p", "1p")] - mean[r][("1m", "1m")]) / S
+            for r in range(2)
+        ]
+        out["m_cons"] = float(diff / (S * (Rcons[0] + Rcons[1])) - 1.0)
+        out["se_m_cons"] = float(
+            3.0 * se_dif / (S * (Rcons[0] + Rcons[1]))
+        )
+        out["R11_cons"] = float(0.5 * (Rcons[0] + Rcons[1]))
+        if not quiet:
+            print(
+                "pm consistent-sel: Rcons=%.4f  m = %.2e +/- %.2e "
+                "(99.7%%)" % (
+                    out["R11_cons"], out["m_cons"], out["se_m_cons"],
+                )
+            )
     if not quiet:
         print(
             "pm n=%d (%.0f/s sustained)  Rtot=%.4f  m = %.2e +/- %.2e "
@@ -443,6 +474,10 @@ def main():
     p.add_argument("--wcs", default="diag", choices=["diag", "sheared"])
     p.add_argument("--types", type=int, default=5, choices=[5, 9])
     p.add_argument("--select", action="store_true")
+    p.add_argument("--select-cut", type=float, default=10.0,
+                   help="pm-mode s2n selection threshold (a cut that "
+                        "never binds, e.g. 2.0, is the estimator "
+                        "null-control)")
     p.add_argument("--mb", action="store_true")
     p.add_argument("--nband", type=int, default=1)
     p.add_argument("--batch", type=int, default=2048)
@@ -518,6 +553,7 @@ def main():
             measure=a.measure, wcs=a.wcs, select=a.select,
             Bsz=a.batch, nbatch=a.nbatch,
             noise=0.55 if a.noise is None else a.noise,
+            select_cut=a.select_cut,
         )
         return
     run_config(
