@@ -29,6 +29,7 @@ from ngmix_tpu.batch import (
     MetacalConfig,
     make_metacal_pipeline_fn,
     shear_response_select,
+    shear_response_select_consistent,
 )
 from ngmix_tpu.gmix import core as gcore
 
@@ -116,6 +117,17 @@ def main(B=4000):
     print(
         "with R_sel:        shear = %.5f +/- %.5f (99.7%%)  [true %.3f]"
         % (float(sr["shear"][0]), 3 * sig, SHEAR)
+    )
+
+    # the shear-consistent estimator (each type selected by its own
+    # catalog; the selection response is absorbed into R) - preferred
+    # at survey noise, where the two-term split's cross-type flag
+    # intersections bias m at the ~1e-3 level (see
+    # shear_response_select_consistent's docstring)
+    src = shear_response_select_consistent(res, select)
+    print(
+        "consistent-sel:    shear = %.5f (R11 = %.4f)"
+        % (float(src["shear"][0]), float(src["R"][0, 0]))
     )
 
 

@@ -1352,6 +1352,55 @@ def shear_response_select(results, select_fn, step=DEFAULT_STEP):
     }
 
 
+def shear_response_select_consistent(results, select_fn,
+                                     step=DEFAULT_STEP):
+    """mean shear with shear-CONSISTENT per-type selection.
+
+    Each sheared type's sample is selected entirely by that type's
+    OWN catalog (flags==0 plus select_fn on its own measurements), so
+    the selection response is absorbed into R instead of being a
+    separate first-order R_sel term — the metadetect methodology, and
+    what the reference's accuracy oracle does (its test selects
+    w/w_1p/w_1m per shear type before forming R11;
+    ngmix/tests/test_metacal_accuracy.py:56-58,122-143).
+
+    Prefer this over shear_response_select at survey noise: the
+    two-term split's cross-type flag/selection intersections measured
+    a spurious m ~ 1.3e-3 on a 1M-pair NULL-control (an s2n cut that
+    never binds, where any unbiased estimator must return the plain
+    no-selection answer) while this estimator read 1.8e-4
+    (tools/tpu_logs/pm_sel_null.log, s2n ~ 15, 2026-08-19). Both are
+    first-order metacal estimators; they agree when flags and the
+    selection are shear-independent.
+
+    select_fn maps a type's result dict to a boolean [B] keep mask.
+    Returns e_mean (noshear, own selection), R (2x2, absorbing the
+    selection response), shear = R^-1 e_mean, and n_used.
+    """
+    def mean_e_n(t):
+        r = results[t]
+        ok = (r["flags"] == 0) & select_fn(r)
+        n = jnp.sum(ok)
+        n_safe = jnp.maximum(n, 1)  # empty selection -> e=0, n_used=0
+        e1 = jnp.sum(jnp.where(ok, r["e1"], 0.0)) / n_safe
+        e2 = jnp.sum(jnp.where(ok, r["e2"], 0.0)) / n_safe
+        return jnp.stack([e1, e2]), n
+
+    e_ns, n_used = mean_e_n("noshear")
+    e_1p, _ = mean_e_n("1p")
+    e_1m, _ = mean_e_n("1m")
+    e_2p, _ = mean_e_n("2p")
+    e_2m, _ = mean_e_n("2m")
+    R = jnp.array(
+        [
+            [e_1p[0] - e_1m[0], e_2p[0] - e_2m[0]],
+            [e_1p[1] - e_1m[1], e_2p[1] - e_2m[1]],
+        ]
+    ) / (2 * step)
+    shear = jnp.linalg.solve(R, e_ns)
+    return {"e_mean": e_ns, "R": R, "shear": shear, "n_used": n_used}
+
+
 # ----------------------------------------------------------------------
 # multi-epoch / multi-band pipeline (MEDS-style)
 

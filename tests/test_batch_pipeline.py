@@ -259,6 +259,17 @@ def test_shear_response_select():
     assert np.allclose(
         np.asarray(sel["shear"]), np.asarray(plain["shear"])
     )
+    # the shear-consistent estimator degenerates to the plain one too
+    from ngmix_tpu.batch import shear_response_select_consistent
+
+    cons = shear_response_select_consistent(
+        res, lambda r: r["s2n"] > -1.0
+    )
+    assert np.allclose(np.asarray(cons["R"]), np.asarray(plain["R"]))
+    assert np.allclose(
+        np.asarray(cons["shear"]), np.asarray(plain["shear"])
+    )
+    assert int(cons["n_used"]) == int(plain["n_used"])
 
 
 def test_batch_pipeline_fitgauss_psf_mode():
@@ -422,6 +433,15 @@ def test_shear_response_empty_selection_guarded():
     assert int(srs["n_used"]) == 0
     assert np.all(np.isfinite(np.asarray(srs["e_mean"])))
     assert np.all(np.isfinite(np.asarray(srs["R"])))
+
+    from ngmix_tpu.batch import shear_response_select_consistent
+
+    src = shear_response_select_consistent(
+        results, lambda r: r["s2n"] > 5.0
+    )
+    assert int(src["n_used"]) == 0
+    assert np.all(np.isfinite(np.asarray(src["e_mean"])))
+    assert np.all(np.isfinite(np.asarray(src["R"])))
 
 
 def test_batch_pipeline_psf_sheared_types_dilate():
