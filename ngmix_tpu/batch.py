@@ -1077,11 +1077,13 @@ def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
     different ways) at that one shape — see run_lm_normal_batched's
     wrong-code history note. Any chunk-size retune must be validated
     by a full `python bench.py` gate run (|m| AND |hetero m| < 1e-3)
-    at the new shape, never by throughput alone. The dispatcher
-    QUARANTINES the known-bad shape: a schedule entry of exactly 6144
-    stamps (e.g. the remainder of B=16384 at max_chunk=10240, or
-    B=6144 itself) is re-split into validated 2048-stamp programs
-    (_XLA_TPU_QUARANTINED_CHUNKS).
+    at the new shape, never by throughput alone. Dispatcher-chosen
+    program shapes are restricted to the per-lane-VALIDATED set: a
+    remainder chunk (or a quarantined exact batch like B=6144) runs
+    as 2048-stamp programs or is padded up to an 8192/10240-stamp
+    program with dummy lanes that are sliced off the results — see
+    _chunk_schedule. A single-shot batch (B <= max_chunk) keeps the
+    user's own shape.
 
     inflight: at most this many chunk programs are dispatched ahead of
     the oldest unfetched one (2 keeps the device queue busy while
@@ -1099,20 +1101,40 @@ def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
 
     if max_chunk is None:
         return fn
+    if max_chunk in _XLA_TPU_QUARANTINED_CHUNKS:
+        raise ValueError(
+            "max_chunk=%d is a quarantined XLA-TPU wrong-code program "
+            "shape (see _chunk_schedule)" % max_chunk
+        )
 
     def chunked(images, weights, cens, psf_images, psf_cens, noise):
         B = images.shape[0]
-        sizes = _chunk_sizes(B, max_chunk)
-        if len(sizes) == 1:
+        sched = _chunk_schedule(B, max_chunk)
+        if len(sched) == 1 and sched[0] == (B, B):
             return fn(images, weights, cens, psf_images, psf_cens, noise)
         args = (images, weights, cens, psf_images, psf_cens, noise)
         parts = []
         i = 0
-        for j, c in enumerate(sizes):
+        for j, (real, size) in enumerate(sched):
             if j >= inflight:
                 _sync_result(parts[j - inflight])
-            parts.append(fn(*[a[i:i + c] for a in args]))
-            i += c
+            chunk = [a[i:i + real] for a in args]
+            if size > real:
+                # pad to a validated program shape with copies of the
+                # first lane (lane-independent pipeline: real-lane
+                # results are unchanged); sliced off below
+                chunk = [
+                    jnp.concatenate(
+                        [c, jnp.repeat(c[:1], size - real, axis=0)],
+                        axis=0,
+                    )
+                    for c in chunk
+                ]
+            out = fn(*chunk)
+            if size > real:
+                out = jax.tree.map(lambda x: x[:real], out)
+            parts.append(out)
+            i += real
         return jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=0), *parts
         )
@@ -1125,34 +1147,63 @@ def make_metacal_pipeline_fn(conf: MetacalConfig, measure="gaussmom",
 # round-4 headline regression - the compiled solver froze ~every lane
 # at its starting guess with flags=0; see make_metacal_pipeline_fn's
 # retune caution and run_lm_normal_batched's history note). Without
-# this, a user batch like B=16384 at max_chunk=10240 would emit a
-# 6144-stamp remainder program, and B=6144 exactly would single-shot
-# it. Quarantined sizes are re-split into _QUARANTINE_SPLIT-stamp
-# programs (2048: per-lane-validated against CPU). Applies only to
-# the flat chunk schedule - the mb pipeline compiles a structurally
-# different program and has shown no artifact signature at its
-# folded-row shapes.
+# this, B=6144 exactly would single-shot the bad shape. More broadly,
+# ANY dispatcher-chosen shape the validation harness never ran is
+# suspect, so remainder scheduling below is restricted to the
+# per-lane-validated ladder. Applies only to the flat chunk schedule -
+# the mb pipeline compiles a structurally different program and has
+# shown no artifact signature at its folded-row shapes.
 _XLA_TPU_QUARANTINED_CHUNKS = frozenset({6144})
-_QUARANTINE_SPLIT = 2048
+# program shapes validated per-lane against CPU on fixed sims
+# (tools/diag_6144.py; 2048+10240 round 5 opening, 8192 via
+# diag_cmp8192.log) - dispatcher-chosen chunks only ever compile these
+_LADDER_SMALL = 2048
+_LADDER_BIG = (8192, 10240)
+# measured on-chip: 2048-stamp programs sustain ~20k stamps/s vs ~31k
+# for 8192/10240, so padding a remainder r up to 8192 beats splitting
+# it into 2048s once r/8192*31k > 20k, i.e. r > ~5284; 5120 (= 2.5x
+# 2048) is the scheduling breakeven used
+_SPLIT_BREAKEVEN = 5120
 
 
-def _chunk_sizes(B, max_chunk):
-    """chunk-size schedule for the flat closure: max_chunk-sized
-    chunks plus a remainder, with quarantined sizes re-split into
-    _QUARANTINE_SPLIT-stamp programs (see the quarantine note above)"""
-    sizes = []
+def _chunk_schedule(B, max_chunk):
+    """flat-closure chunk schedule: a list of (n_real, program_size)
+    entries covering B.
+
+    A batch that fits one program (B <= max_chunk) keeps the user's
+    own shape - their explicit choice, like the reference's obs
+    config. Beyond that the DISPATCHER picks the shapes, and it only
+    ever picks per-lane-validated ones: full max_chunk chunks, then a
+    remainder either split into _LADDER_SMALL-stamp programs (small
+    remainders) or padded up to the nearest _LADDER_BIG shape (large
+    remainders; dummy lanes are sliced off the results). Quarantined
+    exact batches (B=6144, the known XLA-TPU wrong-code shape) are
+    routed through the remainder path instead of single-shotting.
+    If max_chunk is too small for the ladder (< _LADDER_SMALL), the
+    remainder runs at its own (small, cheap-to-cross-check) shape.
+    """
+    if B <= max_chunk and B not in _XLA_TPU_QUARANTINED_CHUNKS:
+        return [(B, B)]
+    sched = []
     left = B
-    while left > 0:
-        c = min(left, max_chunk)
-        left -= c
-        if c in _XLA_TPU_QUARANTINED_CHUNKS:
-            n, rem = divmod(c, _QUARANTINE_SPLIT)
-            sizes.extend([_QUARANTINE_SPLIT] * n)
-            if rem:
-                sizes.append(rem)
-        else:
-            sizes.append(c)
-    return sizes
+    while left > max_chunk:
+        sched.append((max_chunk, max_chunk))
+        left -= max_chunk
+    r = left
+    if r == 0:
+        return sched
+    if max_chunk < _LADDER_SMALL:
+        sched.append((r, r))
+        return sched
+    big = [s for s in _LADDER_BIG if r <= s <= max_chunk]
+    if r > _SPLIT_BREAKEVEN and big:
+        sched.append((r, big[0]))
+        return sched
+    while r > 0:
+        c = min(r, _LADDER_SMALL)
+        sched.append((c, _LADDER_SMALL))
+        r -= c
+    return sched
 
 
 def _sync_result(part):

@@ -898,36 +898,68 @@ def test_make_metacal_pipeline_fn_chunks():
         )
 
 
-def test_chunk_sizes_quarantines_wrongcode_shape():
-    """the flat chunk schedule never emits a 6144-stamp program (the
-    XLA-TPU wrong-code shape from the round-4 regression): both the
-    exact-batch and the remainder-chunk routes re-split into
-    validated 2048-stamp programs"""
-    from ngmix_tpu.batch import _chunk_sizes
+def test_chunk_schedule_validated_shapes_only():
+    """dispatcher-chosen program shapes come only from the per-lane
+    validated ladder (2048/8192/10240); the XLA-TPU wrong-code 6144
+    shape is never compiled (round-4 regression), neither as an exact
+    batch nor as a remainder; single-shot batches keep the user's own
+    shape"""
+    from ngmix_tpu.batch import _chunk_schedule
 
-    assert _chunk_sizes(6144, 10240) == [2048, 2048, 2048]
-    assert _chunk_sizes(16384, 10240) == [10240, 2048, 2048, 2048]
-    assert _chunk_sizes(12288, 10240) == [10240, 2048]
-    assert _chunk_sizes(20480, 10240) == [10240, 10240]
-    assert _chunk_sizes(512, 10240) == [512]
-    # a non-quarantined remainder passes through untouched
-    assert _chunk_sizes(10752, 10240) == [10240, 512]
-    # schedules always cover the batch exactly
-    for B in (1, 2048, 6144, 6145, 10240, 16384, 22528):
-        assert sum(_chunk_sizes(B, 10240)) == B
-        assert 6144 not in _chunk_sizes(B, 10240)
+    # quarantined exact batch: one padded 8192 program
+    assert _chunk_schedule(6144, 10240) == [(6144, 8192)]
+    # large remainder: padded to the nearest big validated shape
+    assert _chunk_schedule(16384, 10240) == [(10240, 10240), (6144, 8192)]
+    assert _chunk_schedule(19456, 10240) == [(10240, 10240), (9216, 10240)]
+    # small remainder: 2048-stamp programs, last one padded
+    assert _chunk_schedule(12288, 10240) == [(10240, 10240), (2048, 2048)]
+    assert _chunk_schedule(13312, 10240) == [
+        (10240, 10240), (2048, 2048), (1024, 2048)
+    ]
+    assert _chunk_schedule(10752, 10240) == [(10240, 10240), (512, 2048)]
+    # exact multiples: no remainder entries
+    assert _chunk_schedule(20480, 10240) == [(10240, 10240), (10240, 10240)]
+    # single-shot keeps the user's shape
+    assert _chunk_schedule(512, 10240) == [(512, 512)]
+    assert _chunk_schedule(9999, 10240) == [(9999, 9999)]
+    # small max_chunk: ladder unavailable, remainder keeps its shape
+    assert _chunk_schedule(1300, 512) == [(512, 512), (512, 512), (276, 276)]
+    # schedules always cover the batch exactly and never compile 6144
+    for B in (1, 2048, 6144, 6145, 10240, 16384, 22528, 30000):
+        sched = _chunk_schedule(B, 10240)
+        assert sum(real for real, _ in sched) == B
+        assert all(size >= real for real, size in sched)
+        assert 6144 not in [size for _, size in sched]
 
 
-def test_quarantined_chunk_split_matches_one_shot(monkeypatch):
-    """per-lane equivalence through the quarantine path: with the
-    quarantined size patched down to test scale, a batch that lands
-    exactly on it is re-split yet matches the one-shot pipeline"""
+def test_quarantined_max_chunk_rejected():
+    from ngmix_tpu.batch import make_metacal_pipeline_fn as mk
+
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        mk(conf, measure="gaussmom", max_chunk=6144)
+
+
+def test_quarantined_batch_padded_matches_one_shot(monkeypatch):
+    """per-lane equivalence through the quarantine + padding path:
+    with the ladder patched down to test scale, a quarantined exact
+    batch routes through the remainder scheduler, runs as ONE padded
+    program (dummy lanes sliced off), and matches the one-shot
+    pipeline per lane"""
     import ngmix_tpu.batch as batch_mod
 
     monkeypatch.setattr(
         batch_mod, "_XLA_TPU_QUARANTINED_CHUNKS", frozenset({6})
     )
-    monkeypatch.setattr(batch_mod, "_QUARANTINE_SPLIT", 2)
+    monkeypatch.setattr(batch_mod, "_LADDER_SMALL", 2)
+    monkeypatch.setattr(batch_mod, "_LADDER_BIG", (8, 10))
+    monkeypatch.setattr(batch_mod, "_SPLIT_BREAKEVEN", 5)
+
+    assert batch_mod._chunk_schedule(6, 8) == [(6, 8)]
 
     rng = np.random.RandomState(54)
     args = _sim_batch(rng, 6)
@@ -939,10 +971,22 @@ def test_quarantined_chunk_split_matches_one_shot(monkeypatch):
     fn = make_metacal_pipeline_fn(conf, measure="exp-lm", max_chunk=8)
     out = fn(*args)
     for t in ("noshear", "1p"):
+        assert np.asarray(out[t]["pars"]).shape[0] == 6
         np.testing.assert_array_equal(
             np.asarray(ref[t]["flags"]), np.asarray(out[t]["flags"]), t
         )
         np.testing.assert_allclose(
             np.asarray(ref[t]["pars"]), np.asarray(out[t]["pars"]),
+            rtol=1e-5, atol=1e-10, err_msg=t,
+        )
+
+    # a small-remainder schedule (split + padded tail) also matches
+    monkeypatch.setattr(batch_mod, "_SPLIT_BREAKEVEN", 50)
+    assert batch_mod._chunk_schedule(6, 4) == [(4, 4), (2, 2)]
+    fn2 = make_metacal_pipeline_fn(conf, measure="exp-lm", max_chunk=4)
+    out2 = fn2(*args)
+    for t in ("noshear", "1p"):
+        np.testing.assert_allclose(
+            np.asarray(ref[t]["pars"]), np.asarray(out2[t]["pars"]),
             rtol=1e-5, atol=1e-10, err_msg=t,
         )
