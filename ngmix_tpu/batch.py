@@ -664,7 +664,7 @@ def _normal_reductions(r, J):
     return cost, Jtr, JtJ
 
 
-def _make_ad_normal_fn(fill_fn):
+def _make_ad_normal_fn(fill_fn, flux_col=False):
     """normal-equation reductions (cost, Jtr, JtJ) of a simple-model
     fit via vmapped AD (eval + jacfwd): the XLA-fused default. Same
     contract as _exp_normal_fn so both plug into
@@ -673,7 +673,16 @@ def _make_ad_normal_fn(fill_fn):
     jacfwd rather than linearize + manual seed basis: measured
     identical on TPU (the tangent passes dominate; XLA CSEs the second
     primal), and linearize's constant eye seeds violate jax 0.9's
-    varying-across-mesh typing under shard_map."""
+    varying-across-mesh typing under shard_map.
+
+    flux_col: every fill is exactly linear in its (single, trailing)
+    flux parameter - the p column is flux * pvals and the flags depend
+    only on shape/size pars - so dr/dF is the unit-flux weighted model,
+    available from the primal. Computing that column analytically
+    drops one of the npars forward tangent passes; the remaining
+    shape-par jacobian still comes from jacfwd (AD-exact). Identical
+    math to the full-AD jacobian up to one-ulp reassociation
+    (F * eval(flux=1) vs eval(flux=F))."""
 
     def normal_fn(pars, data):
         pixels, psf_gmix = data
@@ -684,7 +693,29 @@ def _make_ad_normal_fn(fill_fn):
 
             return f(p), jax.jacfwd(f)(p)
 
-        r, J = jax.vmap(one)(pars, pixels, psf_gmix)
+        def one_fluxcol(p, px, pg):
+            F = p[-1]
+            yw = px.val * px.ierr
+
+            def f(q):
+                pars1 = jnp.concatenate([q, jnp.ones_like(q[:1])])
+                gm0, gflags = fill_fn(pars1)
+                gm = gcore.gmix_convolve(gm0, pg)
+                mh = gcore.eval_gmix(
+                    gm, px.v, px.u, px.area, fast=True
+                ) * px.ierr
+                bad = (gflags != 0) | (gcore.gmix_flags(gm) != 0)
+                r = jnp.where(bad, 1.0e10, F * mh - yw)
+                # aux: (residual, flux column); the masked-bad rows
+                # carry zero jacobian, matching jacfwd through the
+                # constant 1e10 branch
+                return r, (r, jnp.where(bad, 0.0, mh))
+
+            Jq, (r, mcol) = jax.jacfwd(f, has_aux=True)(p[:-1])
+            return r, jnp.concatenate([Jq, mcol[:, None]], axis=-1)
+
+        lane = one_fluxcol if flux_col else one
+        r, J = jax.vmap(lane)(pars, pixels, psf_gmix)
         return _normal_reductions(r, J)
 
     return normal_fn
@@ -935,7 +966,7 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
         )
     else:
         data = (pixels, psf_gmix)
-        normal_fn = _make_ad_normal_fn(fill_fn)
+        normal_fn = _make_ad_normal_fn(fill_fn, flux_col=lm_conf.flux_col)
     prior_fn = None if prior is None else prior.fill_fdiff_device
     if refine:
         from .fitting.lm import run_gn_refine_batched

@@ -54,6 +54,13 @@ class LMConf(NamedTuple):
     lambda_down: float = 10.0
     lambda_min: float = 1.0e-12
     lambda_max: float = 1.0e12
+    # AD-normal-fn builders only (batch._make_ad_normal_fn): compute
+    # the flux jacobian column analytically (the model is exactly
+    # linear in its flux parameter, so dr/dF is the unit-flux weighted
+    # model - one fewer forward-mode tangent pass per LM iteration).
+    # Same math as the AD column to roundoff; off by default pending
+    # an on-chip A/B at the headline shape.
+    flux_col: bool = False
 
 
 # ----------------------------------------------------------------------

@@ -990,3 +990,42 @@ def test_quarantined_batch_padded_matches_one_shot(monkeypatch):
             np.asarray(ref[t]["pars"]), np.asarray(out2[t]["pars"]),
             rtol=1e-5, atol=1e-10, err_msg=t,
         )
+
+
+def test_flux_col_matches_ad_jacobian():
+    """the analytic flux jacobian column (LMConf.flux_col: the model is
+    exactly linear in its trailing flux parameter, so dr/dF is the
+    unit-flux weighted model) reproduces the full-AD solve: identical
+    flags and nfev, pars equal to reassociation roundoff — for the
+    simple exp model and the composite bdf, with and without bounds"""
+    from ngmix_tpu.fitting.lm import LMConf
+
+    rng = np.random.RandomState(31)
+    args = _sim_batch(rng, 12)
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+    )
+    bdf_bounds = (
+        np.array([-2.0, -2.0, -0.99, -0.99, 0.01, 0.0, 1e-3]),
+        np.array([2.0, 2.0, 0.99, 0.99, 100.0, 1.0, 1e9]),
+    )
+    for measure, bounds in (("exp-lm", None), ("bdf-lm", bdf_bounds)):
+        ref = metacal_pipeline(*args, conf, measure=measure, lm_bounds=bounds)
+        out = metacal_pipeline(
+            *args, conf, measure=measure, lm_bounds=bounds,
+            lm_conf=LMConf(flux_col=True),
+        )
+        for t in ("noshear", "1p"):
+            np.testing.assert_array_equal(
+                np.asarray(ref[t]["flags"]), np.asarray(out[t]["flags"]),
+                err_msg=f"{measure} {t}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ref[t]["nfev"]), np.asarray(out[t]["nfev"]),
+                err_msg=f"{measure} {t}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(ref[t]["pars"]), np.asarray(out[t]["pars"]),
+                rtol=1e-8, atol=1e-11, err_msg=f"{measure} {t}",
+            )
