@@ -725,6 +725,76 @@ def _exp_ad_normal_fn(pars, data):
     return _make_ad_normal_fn(gcore.fill_exp)(pars, data)
 
 
+def _vp_unit_model_rows(fill_fn, q, px, pg):
+    """unit-flux weighted model rows for ONE stamp at shape pars q:
+    (mh [P], good scalar) with mh zeroed on bad parameter points"""
+    pars1 = jnp.concatenate([q, jnp.ones_like(q[:1])])
+    gm0, gflags = fill_fn(pars1)
+    gm = gcore.gmix_convolve(gm0, pg)
+    mh = gcore.eval_gmix(gm, px.v, px.u, px.area, fast=True) * px.ierr
+    good = (gflags == 0) & (gcore.gmix_flags(gm) == 0)
+    return mh, good
+
+
+def _make_vp_normal_fn(fill_fn):
+    """variable-projection normal-equation reductions: the flux is
+    solved EXACTLY per evaluation (the model is linear in it), so the
+    nonlinear problem is over the nshape shape pars only.
+
+    Golub & Pereyra variable projection, with the reduced jacobian
+    from jacfwd straight through the flux solve F(q) = <m̂,y>/<m̂,m̂> -
+    AD-exact including the dF/dq term. The reduced cost equals the
+    full cost at the optimal flux, so ftol semantics match the full
+    solve; the gradient of the reduced problem equals the full
+    gradient's shape block at (q, F(q)). One fewer tangent pass per
+    iteration than the full-AD solve AND the flux dimension drops out
+    of the curvature entirely (the first iterations no longer spend
+    steps trading flux against size)."""
+
+    def normal_fn(q, data):
+        pixels, psf_gmix = data
+
+        def one(qq, px, pg):
+            yw = px.val * px.ierr
+            tiny = jnp.asarray(
+                np.finfo(np.dtype(yw.dtype.name)).tiny, yw.dtype
+            )
+
+            def f(q5):
+                mh, good = _vp_unit_model_rows(fill_fn, q5, px, pg)
+                den = jnp.sum(mh * mh)
+                good = good & (den > tiny)
+                den_s = jnp.where(good, den, 1.0)
+                F = jnp.where(good, jnp.sum(mh * yw) / den_s, 0.0)
+                r = jnp.where(good, F * mh - yw, 1.0e10)
+                return r, r
+
+            J, r = jax.jacfwd(f, has_aux=True)(qq)
+            return r, J
+
+        r, J = jax.vmap(one)(q, pixels, psf_gmix)
+        return _normal_reductions(r, J)
+
+    return normal_fn
+
+
+def _vp_flux_batch(fill_fn, q, data):
+    """optimal flux per lane at shape pars q (zero where invalid)"""
+    pixels, psf_gmix = data
+
+    def one(qq, px, pg):
+        mh, good = _vp_unit_model_rows(fill_fn, qq, px, pg)
+        den = jnp.sum(mh * mh)
+        tiny = jnp.asarray(np.finfo(np.dtype(mh.dtype.name)).tiny, mh.dtype)
+        good = good & (den > tiny)
+        den_s = jnp.where(good, den, 1.0)
+        return jnp.where(
+            good, jnp.sum(mh * px.val * px.ierr) / den_s, 0.0
+        )
+
+    return jax.vmap(one)(q, pixels, psf_gmix)
+
+
 def _exp_normal_fn(pars, planes, psf_gmix, interpret=False,
                    fill_fn=gcore.fill_exp):
     """fused normal-equation reductions (cost, Jtr, JtJ) for a batched
@@ -756,6 +826,49 @@ def _exp_normal_fn(pars, planes, psf_gmix, interpret=False,
     Jtr = jnp.where(bad[:, None], 0.0, Jtr)
     JtJ = jnp.where(bad[:, None, None], eye, JtJ)
     return cost, Jtr, JtJ
+
+
+def _run_varpro(fill_fn, data, guess, lo, hi, lm_conf, nres,
+                compact_capacity, nshape):
+    """variable-projection LM drive: reduced (shape-only) solve via
+    _make_vp_normal_fn, then optimal flux + a full-width (nshape+1)-
+    parameter normal evaluation at the reduced optimum for the
+    reference-consistent covariance/flag epilogue (the GN refiner at
+    niter=0 is exactly that evaluation; (q*, F(q*)) is a stationary
+    point of the full problem so nothing moves). Loop-outcome flags
+    (maxiter/func-notfinite/incomplete) and nfev/ier carry over from
+    the reduced solve."""
+    from . import flags as _flags
+    from .defaults import PDEF
+    from .fitting.lm import run_gn_refine_batched
+
+    out5 = run_lm_normal_batched(
+        _make_vp_normal_fn(fill_fn), data, guess[:, :nshape],
+        lo[:nshape], hi[:nshape], lm_conf, nres=nres,
+        compact_capacity=compact_capacity,
+    )
+    q = out5["pars"]
+    ok5 = jnp.all(jnp.isfinite(q) & (jnp.abs(q) < 1.0e9), axis=-1)
+    benign = jnp.zeros((nshape,), q.dtype).at[4].set(1.0)
+    q_safe = jnp.where(ok5[:, None], q, benign)
+    F = _vp_flux_batch(fill_fn, q_safe, data)
+    pars_full = jnp.concatenate([q_safe, F[:, None]], axis=-1)
+    out = run_gn_refine_batched(
+        _make_ad_normal_fn(fill_fn, flux_col=True), data, pars_full,
+        lo, hi, lm_conf, nres=nres, niter=0,
+    )
+    loop_bits = (
+        _flags.MAXITER | _flags.LM_FUNC_NOTFINITE
+        | _flags.SOLVER_INCOMPLETE
+    )
+    out["flags"] = out["flags"] | (out5["flags"] & loop_bits)
+    out["pars"] = jnp.where(
+        ok5[:, None], out["pars"],
+        jnp.asarray(PDEF, q.dtype),
+    )
+    out["nfev"] = out5["nfev"]
+    out["ier"] = out5["ier"]
+    return out
 
 
 def _moments_lm_guess(pixels, Tpsf, guess_fwhm=1.2):
@@ -968,7 +1081,26 @@ def _exp_lm_measure(pixels, psf_sigma, lm_conf, guess_fwhm=1.2,
         data = (pixels, psf_gmix)
         normal_fn = _make_ad_normal_fn(fill_fn, flux_col=lm_conf.flux_col)
     prior_fn = None if prior is None else prior.fill_fdiff_device
-    if refine:
+    if lm_conf.varpro and not refine:
+        if prior is not None:
+            raise ValueError(
+                "varpro solves the flux exactly per evaluation; it "
+                "cannot honor a prior (which couples all pars). Use "
+                "the standard path."
+            )
+        if bounds is not None and not (
+            np.isinf(np.asarray(bounds[0])[-1])
+            and np.isinf(np.asarray(bounds[1])[-1])
+        ):
+            raise ValueError(
+                "varpro requires an unbounded flux (it is solved "
+                "exactly, not iterated)"
+            )
+        out = _run_varpro(
+            fill_fn, (pixels, psf_gmix), guess, lo, hi, lm_conf, nres,
+            compact_capacity, nshape,
+        )
+    elif refine:
         from .fitting.lm import run_gn_refine_batched
 
         out = run_gn_refine_batched(

@@ -61,6 +61,15 @@ class LMConf(NamedTuple):
     # Same math as the AD column to roundoff; off by default pending
     # an on-chip A/B at the headline shape.
     flux_col: bool = False
+    # batch._exp_lm_measure only: variable projection (Golub-Pereyra)
+    # - solve the flux EXACTLY per evaluation and iterate only the
+    # shape pars (one fewer tangent pass AND the flux dimension drops
+    # out of the curvature). Same objective, different trajectory:
+    # stopping fires at the same tolerances on the same reduced cost,
+    # and the final pars/covariance come from a full-width evaluation
+    # at (q*, F(q*)). Requires unbounded flux and no prior; off by
+    # default pending an on-chip A/B.
+    varpro: bool = False
 
 
 # ----------------------------------------------------------------------

@@ -1029,3 +1029,51 @@ def test_flux_col_matches_ad_jacobian():
                 np.asarray(ref[t]["pars"]), np.asarray(out[t]["pars"]),
                 rtol=1e-8, atol=1e-11, err_msg=f"{measure} {t}",
             )
+
+
+def test_varpro_matches_standard_solve():
+    """variable projection (LMConf.varpro: flux solved exactly per
+    evaluation, shape-only LM) converges to the same optimum as the
+    standard 6-parameter solve: identical flags, pars and errors to
+    solver-tolerance roundoff; flux-bounded or prior-regularized
+    requests are rejected"""
+    from ngmix_tpu.fitting.lm import LMConf
+
+    rng = np.random.RandomState(17)
+    args = _sim_batch(rng, 16)
+    conf = MetacalConfig(
+        dims=DIMS, psf_dims=PSF_DIMS, jac=(SCALE, 0, 0, SCALE),
+        fixnoise=True, pad_factor=2, fit_dims=(25, 25),
+    )
+    ref = metacal_pipeline(*args, conf, measure="exp-lm")
+    out = metacal_pipeline(
+        *args, conf, measure="exp-lm", lm_conf=LMConf(varpro=True)
+    )
+    for t in ("noshear", "1p"):
+        np.testing.assert_array_equal(
+            np.asarray(ref[t]["flags"]), np.asarray(out[t]["flags"]), t
+        )
+        pa, pb = np.asarray(ref[t]["pars"]), np.asarray(out[t]["pars"])
+        np.testing.assert_allclose(pa, pb, rtol=1e-6, atol=1e-8, err_msg=t)
+        np.testing.assert_allclose(
+            np.asarray(ref[t]["pars_err"]), np.asarray(out[t]["pars_err"]),
+            rtol=1e-6, err_msg=t,
+        )
+
+    # shape bounds are fine; flux bounds / priors are rejected
+    lo = np.array([-2.0, -2.0, -0.99, -0.99, 0.01, -np.inf])
+    hi = np.array([2.0, 2.0, 0.99, 0.99, 100.0, np.inf])
+    outb = metacal_pipeline(
+        *args, conf, measure="exp-lm", lm_bounds=(lo, hi),
+        lm_conf=LMConf(varpro=True),
+    )
+    assert np.all(np.asarray(outb["noshear"]["flags"]) == 0)
+
+    lo_f = lo.copy()
+    hi_f = hi.copy()
+    lo_f[5], hi_f[5] = 1e-3, 1e9
+    with pytest.raises(ValueError):
+        metacal_pipeline(
+            *args, conf, measure="exp-lm", lm_bounds=(lo_f, hi_f),
+            lm_conf=LMConf(varpro=True),
+        )

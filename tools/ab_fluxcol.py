@@ -9,7 +9,11 @@ test_flux_col_matches_ad_jacobian), but this script also checks m and
 pars agreement of the two compiled TPU programs so a wrong-code
 surprise at the headline shape cannot hide behind a fast wall clock.
 
-Run on the TPU: python tools/ab_fluxcol.py [B] [reps]
+Run on the TPU: python tools/ab_fluxcol.py [B] [reps] [variant]
+variant: 'fluxcol' (default) or 'varpro' (variable projection: flux
+solved exactly per eval; CPU showed nfev 5.42 -> 5.31 only, so its
+gain must come from the cheaper per-iteration eval minus the
+full-width epilogue eval).
 """
 import sys
 import time
@@ -29,6 +33,11 @@ from ngmix_tpu.fitting.lm import LMConf  # noqa: E402
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    variant = sys.argv[3] if len(sys.argv) > 3 else "fluxcol"
+    conf_b = (
+        LMConf(flux_col=True) if variant == "fluxcol"
+        else LMConf(varpro=True)
+    )
 
     key = jax.random.PRNGKey(314)
     args = jax.block_until_ready(BN.make_sim_batch(key, B))
@@ -38,9 +47,7 @@ def main():
         fixnoise=True, pad_factor=1.3, fit_dims=(19, 19),
     )
     fn_a = make_metacal_pipeline_fn(conf, measure="exp-lm")
-    fn_b = make_metacal_pipeline_fn(
-        conf, measure="exp-lm", lm_conf=LMConf(flux_col=True)
-    )
+    fn_b = make_metacal_pipeline_fn(conf, measure="exp-lm", lm_conf=conf_b)
 
     def run(fn):
         res = fn(*args)
