@@ -6,7 +6,7 @@ A from-scratch JAX/XLA re-design with the capabilities of esheldon/ngmix
 batch-first (vmap/pjit over stamps); the host layer keeps the familiar
 Observation / GMix / Fitter.go / Bootstrapper / get_all_metacal API.
 """
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from . import defaults  # noqa: F401
 from . import flags  # noqa: F401
